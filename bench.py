@@ -1,0 +1,94 @@
+"""Headline benchmark: flagship training-step throughput on TPU.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference trains Flickr8k for 15 epochs in 5 h on one A30
+(README.md:15) at ~4,045 optimizer steps/epoch (batch 8, 0.8 x 40,455
+captions), i.e. ~3.37 steps/s, where each step pushes an effective batch of
+SAMPLE_SIZE*BATCH_SIZE = 800 rows (+8 x_1 rows) of seq-16x768 through the
+denoiser twice (fwd+bwd). We measure the same unit — optimizer steps/s of
+the identical flagship configuration (DistilBERT-base denoiser, concat
+fusion, x0-prediction, all three loss terms, AdamW) — on one TPU chip.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A30_STEPS_PER_SEC = 4045 * 15 / (5 * 3600)  # ~3.37 (README.md:15)
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_image_captioning_tpu.config import Config
+    from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+    from diffusion_image_captioning_tpu import train as tr
+
+    on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
+    cfg = Config(
+        epoch_num=15,
+        rounding_weight=0.3,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+
+    model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
+    tx = tr.make_optimizer(cfg)
+    state = tr.init_train_state(cfg, params, tx)
+    step = tr.make_train_step(model, cfg, tx)
+
+    rng = np.random.default_rng(0)
+    B = cfg.batch_size
+    batch = {
+        "input_ids": rng.integers(0, cfg.vocab_size, (B, cfg.max_length)).astype(
+            np.int32
+        ),
+        "attention_mask": np.ones((B, cfg.max_length), np.int32),
+        "image_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
+        "text_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
+    }
+    lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
+
+    # Warmup / compile.
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k, lam)
+    jax.block_until_ready(metrics["total"])
+
+    n_steps = 30 if on_tpu else 5
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, batch, k, lam)
+    jax.block_until_ready(metrics["total"])
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec_flagship",
+                "value": round(steps_per_sec, 4),
+                "unit": "optimizer steps/s (effective batch 800, DistilBERT-base denoiser)",
+                "vs_baseline": round(steps_per_sec / A30_STEPS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,123 @@
+"""Checkpoint / resume via Orbax.
+
+The reference pickles the whole nn.Module (torch.save(model.cpu(), ...)
+CLIP-DDPM.py:551,560) plus the val split (:633), and CONTINUE_TRAIN restores
+weights + split but silently rebuilds the optimizer and epoch counter from
+scratch (:505-508 — SURVEY.md section 5.3). This module is strictly better
+with the same user-visible knob: one Orbax checkpoint carries
+
+    params (trainable + frozen), optimizer state, step counter,
+    the val-split index permutation, and the config JSON,
+
+so resume restores ALL of it. ``restore_params_only`` reproduces the
+reference's weaker semantics when exact parity is wanted.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from diffusion_image_captioning_tpu.config import Config
+from diffusion_image_captioning_tpu.train import TrainState
+
+
+def _ckpt_dir(directory: str, name: str) -> str:
+    return os.path.abspath(os.path.join(directory, f"{name}.ckpt"))
+
+
+def save(
+    state: TrainState,
+    cfg: Config,
+    name: str,
+    directory: str = ".",
+    val_indices: Optional[np.ndarray] = None,
+) -> str:
+    """Write {name}.ckpt/ (Orbax) and {name}.meta.json next to it."""
+    path = _ckpt_dir(directory, name)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "step": state.step,
+        "trainable": _stringify_keys(state.trainable),
+        "frozen": _stringify_keys(state.frozen),
+        "opt_state": state.opt_state,
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    meta = {"config": json.loads(cfg.to_json())}
+    if val_indices is not None:
+        meta["val_indices"] = np.asarray(val_indices).tolist()
+    with open(path + ".meta.json", "w") as f:
+        json.dump(meta, f)
+    return path
+
+
+def restore(
+    name: str,
+    directory: str = ".",
+    template: Optional[TrainState] = None,
+) -> tuple[TrainState, Config, Optional[np.ndarray]]:
+    """Restore full training state + config + val split. A ``template``
+    state (same config, fresh init) supplies the pytree structure/dtypes."""
+    path = _ckpt_dir(directory, name)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        target = {
+            "step": template.step,
+            "trainable": _stringify_keys(template.trainable),
+            "frozen": _stringify_keys(template.frozen),
+            "opt_state": template.opt_state,
+        }
+        payload = ckptr.restore(path, target=target)
+    else:
+        payload = ckptr.restore(path)
+    with open(path + ".meta.json") as f:
+        meta = json.load(f)
+    cfg = Config.from_json(json.dumps(meta["config"]))
+    val_idx = (
+        np.asarray(meta["val_indices"], np.int64) if "val_indices" in meta else None
+    )
+    state = TrainState(
+        step=payload["step"],
+        trainable=_tuplify_keys(payload["trainable"]),
+        frozen=_tuplify_keys(payload["frozen"]),
+        opt_state=payload["opt_state"],
+    )
+    return state, cfg, val_idx
+
+
+def restore_params_only(name: str, directory: str, fresh_state: TrainState) -> TrainState:
+    """Reference-parity resume: weights + val split restored, optimizer
+    rebuilt fresh (CLIP-DDPM.py:505-508)."""
+    state, _, _ = restore(name, directory, template=fresh_state)
+    return fresh_state.replace(trainable=state.trainable, frozen=state.frozen)
+
+
+# Orbax (StandardCheckpointer) requires string-keyed dicts; our param
+# partition uses tuple paths. '||' joins path components losslessly.
+_SEP = "||"
+
+
+def _stringify_keys(flat: dict) -> dict:
+    return {_SEP.join(k): v for k, v in flat.items()}
+
+
+def _tuplify_keys(d: dict) -> dict:
+    return {tuple(k.split(_SEP)): v for k, v in d.items()}
+
+
+def save_val_indices(name: str, directory: str, val_indices: np.ndarray) -> str:
+    """Standalone val-split artifact ({name}.valset.npy) — the equivalent of
+    torch.save(val_set, f"{MODEL_NAME}.valset") (CLIP-DDPM.py:633)."""
+    path = os.path.join(directory, f"{name}.valset.npy")
+    np.save(path, np.asarray(val_indices))
+    return path
+
+
+def load_val_indices(name: str, directory: str) -> np.ndarray:
+    return np.load(os.path.join(directory, f"{name}.valset.npy"))

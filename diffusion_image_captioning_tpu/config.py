@@ -229,6 +229,7 @@ LM_TRIAL = Config(
     sample_size=1,
     freeze_embedding=False,
     rounding_max_prob=True,
+    rounding_weight=1.0,  # lm-trial sums the terms unweighted (main.py:242)
     loss_func="mse_mean",
     clip_adding_method="none",
 )

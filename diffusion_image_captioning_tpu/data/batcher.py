@@ -1,0 +1,71 @@
+"""Fixed-shape host-side batching with resumable splits.
+
+Replaces the reference's DataLoader + random_split (CLIP-DDPM.py:218-221):
+  * 0.8/0.2 (configurable) split by a saved index permutation, so
+    CONTINUE_TRAIN restores the exact same validation set
+    (CLIP-DDPM.py:214-216) — here the permutation itself is the artifact.
+  * shuffled train batches with drop_last=True semantics; deterministic
+    sequential val batches, also drop_last (CLIP-DDPM.py:220-221).
+  * every batch is a dict of dense numpy arrays of identical shape — one XLA
+    compilation for the whole run.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+def split_indices(
+    n: int, train_ratio: float, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Random permutation split; returns (train_idx, val_idx)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    k = int(n * train_ratio)
+    return perm[:k], perm[k:]
+
+
+class Batcher:
+    """Iterates dict-of-arrays columns in fixed-size batches.
+
+    columns: dict name -> np.ndarray with leading axis n. Non-array metadata
+    (python lists, e.g. raw caption strings) is sliced alongside and returned
+    under the same key — host-only fields for decode/BLEU.
+    """
+
+    def __init__(
+        self,
+        columns: dict,
+        indices: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.columns = columns
+        self.indices = np.asarray(indices)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self.indices
+        if self.shuffle:
+            order = self._rng.permutation(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            out = {}
+            for key, col in self.columns.items():
+                if isinstance(col, np.ndarray):
+                    out[key] = col[idx]
+                else:
+                    out[key] = [col[i] for i in idx]
+            yield out

@@ -1,0 +1,247 @@
+"""Tokenizers: a frequency-vocabulary word tokenizer and a WordPiece engine.
+
+Two tokenizer families mirror the reference's (CLIP-DDPM.py:132-165, 181-188):
+
+  * ``DictTokenizer`` over a caption-built vocabulary {START:0, END:1, UNK:2,
+    PAD:3, word:...} keeping words with frequency > 10 — used by the
+    TRAIN_EMBEDDING path. The reference tokenizes with spaCy's English rules;
+    spaCy is not a dependency here, so ``word_tokenize`` reimplements the
+    relevant behavior (lowercase, punctuation split off words) in plain
+    regex — same vocabulary statistics, zero external deps.
+  * ``WordPieceTokenizer``: a from-scratch BERT-style WordPiece encoder/
+    decoder (greedy longest-match-first over a vocab.txt) that is drop-in
+    compatible with HF's DistilBertTokenizer when given the same vocab file
+    (CLIP-DDPM.py:205). Includes the exact fixed-length encode the reference
+    relies on (pad/truncate to max_length with [CLS]/[SEP]) and an HF-style
+    decode (## merge, special tokens kept) because the BLEU protocol is
+    sensitive to that formatting (SURVEY.md section 2, fidelity note 8).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections import Counter
+from typing import Iterable, Sequence
+
+import numpy as np
+
+# Words / numbers / single punctuation — the practical effect of spaCy's
+# English tokenizer on caption text (letters+digits stay together, trailing
+# punctuation splits off).
+_WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\sA-Za-z0-9]")
+
+
+def word_tokenize(text: str) -> list[str]:
+    return [m.group(0).lower() for m in _WORD_RE.finditer(text)]
+
+
+def split_sentences(tokens: list[str]) -> list[list[str]]:
+    """Split a token stream on '.', dropping trailing fragment without a
+    period — the reference's itertools.groupby split (CLIP-DDPM.py:143-147)
+    keeps the '.' attached to the preceding sentence."""
+    out: list[list[str]] = [[]]
+    for tok in tokens:
+        out[-1].append(tok)
+        if tok == ".":
+            out.append([])
+    return out[:-1]
+
+
+def build_caption_vocab(captions: Iterable[str], min_freq: int = 10) -> dict[str, int]:
+    """{START:0, END:1, UNK:2, PAD:3, word: 4...} with freq > min_freq
+    (CLIP-DDPM.py:149-155 — strictly greater)."""
+    counter: Counter = Counter()
+    for cap in captions:
+        for sent in split_sentences(word_tokenize(cap)):
+            counter.update(sent)
+    vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3}
+    for word, freq in counter.items():
+        if freq > min_freq:
+            vocab[word] = len(vocab)
+    return vocab
+
+
+class DictTokenizer:
+    """Minimal decode-capable tokenizer over a built vocabulary.
+
+    Encoding follows the reference's TRAIN_EMBEDDING item path
+    (CLIP-DDPM.py:184-188): START + words (UNK-mapped) truncated to
+    max_length-2 + END, padded with UNK; attention mask covers the
+    non-padding prefix.
+    """
+
+    def __init__(self, vocab: dict[str, int]):
+        self.vocab = vocab
+        self.inv = {v: k for k, v in vocab.items()}
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def encode(self, text: str, max_length: int) -> tuple[np.ndarray, np.ndarray]:
+        words = word_tokenize(text)[: max_length - 2]
+        ids = [0] + [self.vocab.get(w, 2) for w in words] + [1]
+        pad = max(0, max_length - len(ids))
+        input_ids = np.asarray(ids + [2] * pad, np.int32)
+        mask = np.asarray([1] * len(ids) + [0] * pad, np.int32)
+        return input_ids[:max_length], mask[:max_length]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return " ".join(self.inv.get(int(i), "UNK") for i in ids)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece
+# ---------------------------------------------------------------------------
+
+_PUNCT_CATEGORIES = ("P",)
+
+
+def _is_punct(ch: str) -> bool:
+    cp = ord(ch)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith(_PUNCT_CATEGORIES)
+
+
+def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
+    """BERT BasicTokenizer behavior: NFD-strip accents, lowercase, split on
+    whitespace and around punctuation/CJK."""
+    text = unicodedata.normalize("NFD", text)
+    out: list[str] = []
+    buf: list[str] = []
+
+    def flush():
+        if buf:
+            out.append("".join(buf))
+            buf.clear()
+
+    for ch in text:
+        if unicodedata.category(ch) == "Mn":
+            continue  # strip accents
+        if lowercase:
+            ch = ch.lower()
+        if ch.isspace():
+            flush()
+        elif _is_punct(ch) or (0x4E00 <= ord(ch) <= 0x9FFF):
+            flush()
+            out.append(ch)
+        else:
+            buf.append(ch)
+    flush()
+    return out
+
+
+class WordPieceTokenizer:
+    """BERT-uncased-compatible WordPiece tokenizer (vocab.txt in, ids out).
+
+    Special tokens follow the bert-base/distilbert-base-uncased convention:
+    [PAD]=0, [UNK]=100, [CLS]=101, [SEP]=102 when using the stock vocab; the
+    actual ids are looked up from the vocab so any vocab file works.
+    """
+
+    def __init__(self, vocab: dict[str, int], lowercase: bool = True, max_chars: int = 100):
+        self.vocab = vocab
+        self.inv = {v: k for k, v in vocab.items()}
+        self.lowercase = lowercase
+        self.max_chars = max_chars
+        self.pad_id = vocab.get("[PAD]", 0)
+        self.unk_id = vocab.get("[UNK]", 0)
+        self.cls_id = vocab.get("[CLS]", 0)
+        self.sep_id = vocab.get("[SEP]", 0)
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "WordPieceTokenizer":
+        vocab: dict[str, int] = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                tok = line.rstrip("\n")
+                if tok:
+                    vocab[tok] = i
+        return cls(vocab, **kw)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def wordpiece(self, word: str) -> list[int]:
+        if len(word) > self.max_chars:
+            return [self.unk_id]
+        ids: list[int] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    cur = self.vocab[sub]
+                    break
+                end -= 1
+            if cur is None:
+                return [self.unk_id]
+            ids.append(cur)
+            start = end
+        return ids
+
+    def tokenize_ids(self, text: str) -> list[int]:
+        ids: list[int] = []
+        for word in basic_tokenize(text, self.lowercase):
+            ids.extend(self.wordpiece(word))
+        return ids
+
+    def encode(self, text: str, max_length: int) -> tuple[np.ndarray, np.ndarray]:
+        """[CLS] ids [SEP] padded/truncated to exactly max_length — HF's
+        padding='max_length', truncation=True behavior (CLIP-DDPM.py:182)."""
+        body = self.tokenize_ids(text)[: max_length - 2]
+        ids = [self.cls_id] + body + [self.sep_id]
+        n = len(ids)
+        input_ids = np.full((max_length,), self.pad_id, np.int32)
+        input_ids[:n] = ids
+        mask = np.zeros((max_length,), np.int32)
+        mask[:n] = 1
+        return input_ids, mask
+
+    def decode(self, ids: Sequence[int]) -> str:
+        """HF-style decode: wordpieces merged via '##', tokens joined by
+        spaces, special tokens KEPT — the BLEU candidates depend on '[CLS]'
+        '[SEP]' '[PAD]' appearing in the string (CLIP-DDPM.py:623-627)."""
+        toks = [self.inv.get(int(i), "[UNK]") for i in ids]
+        out: list[str] = []
+        for tok in toks:
+            if tok.startswith("##") and out:
+                out[-1] = out[-1] + tok[2:]
+            else:
+                out.append(tok)
+        return " ".join(out)
+
+
+def build_wordpiece_vocab(
+    texts: Iterable[str], vocab_size: int = 8000, lowercase: bool = True
+) -> dict[str, int]:
+    """Tiny self-contained WordPiece-style vocab builder (whole words by
+    frequency + single characters as continuation pieces). Not BPE-trained —
+    its purpose is hermetic tests and the no-pretrained-assets path, where
+    any consistent subword vocab works."""
+    counter: Counter = Counter()
+    chars: Counter = Counter()
+    for t in texts:
+        for w in basic_tokenize(t, lowercase):
+            counter.update([w])
+            chars.update(w)
+    vocab: dict[str, int] = {}
+    for tok in ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"):
+        vocab[tok] = len(vocab)
+    for ch in sorted(chars):
+        for piece in (ch, "##" + ch):
+            if piece not in vocab:
+                vocab[piece] = len(vocab)
+    for w, _ in counter.most_common():
+        if len(vocab) >= vocab_size:
+            break
+        if w not in vocab:
+            vocab[w] = len(vocab)
+    return vocab

@@ -1,0 +1,91 @@
+"""Experiment tracking: run-name codec files, reference-format logs, parsing.
+
+The reference's tracking system is a config-encoding filename plus an
+append-only text log (CLIP-DDPM.py:116-119,509,554) parsed offline by a
+regex float-scraper (notebook cell 26, ``extract_float``). We keep the
+filename codec and line format byte-compatible so logs from both frameworks
+co-plot, and add structured CSV emission as a strict extra
+(SURVEY.md section 5.5).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import re
+from typing import Optional, TextIO
+
+from diffusion_image_captioning_tpu.config import Config, model_name
+
+_FLOAT_RE = re.compile(r"[-+]?\d*\.\d+(?:[eE][-+]?\d+)?|[-+]?\d+(?:[eE][-+]?\d+)?")
+
+
+def extract_floats(line: str) -> list[float]:
+    """All floats in a log line — the notebook's parser (cell 26), usable on
+    both reference logs and ours."""
+    return [float(m) for m in _FLOAT_RE.findall(line)]
+
+
+def parse_epoch_lines(path: str) -> list[dict]:
+    """Parse 'epoch N average ...' lines into dicts of the six losses."""
+    rows = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if line.startswith("epoch ") and "average" in line:
+                vals = extract_floats(line)
+                if len(vals) >= 7:
+                    rows.append(
+                        {
+                            "epoch": int(vals[0]),
+                            "train_x_t": vals[1],
+                            "train_x_1": vals[2],
+                            "train_prob": vals[3],
+                            "val_x_t": vals[4],
+                            "val_x_1": vals[5],
+                            "val_prob": vals[6],
+                        }
+                    )
+    return rows
+
+
+class Summary:
+    """Append-mode run log named by the config codec (CLIP-DDPM.py:509),
+    optionally mirrored to a CSV with structured columns."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        directory: str = ".",
+        csv_mirror: bool = True,
+        stream: Optional[TextIO] = None,
+    ):
+        self.name = model_name(cfg)
+        self.path = os.path.join(directory, f"{self.name}.txt")
+        self._fh = stream if stream is not None else open(self.path, "a")
+        self._csv_path = (
+            os.path.join(directory, f"{self.name}.csv") if csv_mirror else None
+        )
+        self._csv_started = bool(
+            self._csv_path and os.path.exists(self._csv_path)
+        )
+
+    def write(self, text: str) -> None:
+        self._fh.write(text)
+
+    def flush(self) -> None:
+        self._fh.flush()
+
+    def epoch_row(self, row: dict) -> None:
+        if not self._csv_path:
+            return
+        write_header = not self._csv_started
+        with open(self._csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()))
+            if write_header:
+                w.writeheader()
+                self._csv_started = True
+            w.writerow(row)
+
+    def close(self) -> None:
+        if self._fh is not None:
+            self._fh.close()

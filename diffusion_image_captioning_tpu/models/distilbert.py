@@ -1,0 +1,214 @@
+"""DistilBERT-style denoiser encoder for continuous token embeddings.
+
+The reference wraps HF ``DistilBertForMaskedLM`` with identity input/output
+embeddings so the transformer consumes and produces raw 768-d float vectors
+(reference: CLIP-DDPM.py:249-250). The behavioral contract this module
+reproduces (clean-room, in Flax linen):
+
+  * "embeddings" stage = learned positional embeddings added to the continuous
+    input, then LayerNorm(eps=1e-12) + dropout — exactly what HF's Embeddings
+    module still does after word embeddings are replaced by identity
+    (SURVEY.md section 2, fidelity note 1).
+  * 6 post-LN transformer blocks (MHA + FFN(GELU, 3072)), hidden 768, 12 heads
+    (stock DistilBertConfig, CLIP-DDPM.py:326,330).
+  * a "transform head" Linear(768,768) -> GELU -> LayerNorm — what remains of
+    the MLM head once the vocab projector is identity (CLIP-DDPM.py:250,312).
+  * a separate vocab head (Linear dim->vocab, zero bias) used only for the
+    rounding loss and decoding (CLIP-DDPM.py:246-247,323). Kept OUT of this
+    module: it is a frozen parameter owned by the full model (denoiser.py) so
+    the optimizer partition can exclude it.
+
+TPU-first choices: everything is static-shape; compute dtype is bf16 with fp32
+params and fp32 LayerNorm statistics; attention can route through the Pallas
+fused kernel (ops/attention.py) or plain XLA einsum (identical math).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn import initializers
+
+Dtype = Any
+
+
+def mha_reference(q, k, v, mask, *, dropout_fn=None):
+    """Plain-XLA scaled-dot-product attention.
+
+    q, k, v: [N, H, L, Dh] (q may have fewer rows L_q).
+    mask:    [N, L] float/bool padding mask over KEYS (1 = attend).
+    Matches HF DistilBERT masking: masked scores set to a large negative
+    before softmax (finite, so fully-masked rows stay NaN-free).
+    """
+    dh = q.shape[-1]
+    scores = jnp.einsum("nhqd,nhkd->nhqk", q, k) / jnp.sqrt(dh).astype(q.dtype)
+    neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+    scores = jnp.where(mask[:, None, None, :] > 0, scores, neg)
+    weights = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if dropout_fn is not None:
+        weights = dropout_fn(weights)
+    return jnp.einsum("nhqk,nhkd->nhqd", weights, v)
+
+
+class MultiHeadSelfAttention(nn.Module):
+    dim: int
+    n_heads: int
+    dropout: float
+    dtype: Dtype = jnp.bfloat16
+    initializer_range: float = 0.02
+    attention_fn: Optional[Callable] = None  # injected Pallas kernel
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        N, L, _ = x.shape
+        dh = self.dim // self.n_heads
+        dense = lambda name: nn.Dense(  # noqa: E731
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=initializers.normal(self.initializer_range),
+            name=name,
+        )
+        q = dense("q_lin")(x).reshape(N, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+        k = dense("k_lin")(x).reshape(N, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+        v = dense("v_lin")(x).reshape(N, L, self.n_heads, dh).transpose(0, 2, 1, 3)
+
+        attn_drop = None
+        if not deterministic and self.dropout > 0:
+            layer = nn.Dropout(rate=self.dropout, deterministic=False)
+            attn_drop = lambda w: layer(w)  # noqa: E731
+
+        fn = self.attention_fn
+        if fn is None or attn_drop is not None:
+            # The fused kernel has no attention-dropout path; training with
+            # dropout uses the XLA route (dropout rate 0.1 only matters at
+            # train time; sampling/eval takes the kernel).
+            out = mha_reference(q, k, v, mask, dropout_fn=attn_drop)
+        else:
+            out = fn(q, k, v, mask)
+        out = out.transpose(0, 2, 1, 3).reshape(N, L, self.dim)
+        return dense("out_lin")(out)
+
+
+class TransformerBlock(nn.Module):
+    """Post-LN block: LN(x + MHA(x)); LN(h + FFN(h)). HF DistilBERT layout."""
+
+    dim: int
+    n_heads: int
+    hidden_dim: int
+    dropout: float
+    attention_dropout: float
+    layer_norm_eps: float = 1e-12
+    dtype: Dtype = jnp.bfloat16
+    initializer_range: float = 0.02
+    attention_fn: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool):
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=self.layer_norm_eps, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        attn_out = MultiHeadSelfAttention(
+            dim=self.dim,
+            n_heads=self.n_heads,
+            dropout=self.attention_dropout,
+            dtype=self.dtype,
+            initializer_range=self.initializer_range,
+            attention_fn=self.attention_fn,
+            name="attention",
+        )(x, mask, deterministic)
+        x = ln("sa_layer_norm")(x + attn_out)
+
+        h = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=initializers.normal(self.initializer_range),
+            name="ffn_lin1",
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=initializers.normal(self.initializer_range),
+            name="ffn_lin2",
+        )(h)
+        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
+        return ln("output_layer_norm")(x + h)
+
+
+class DenoiserEncoder(nn.Module):
+    """Positional embed + LN + dropout, N transformer blocks, transform head.
+
+    Input:  continuous embeddings [N, L, dim], padding mask [N, L].
+    Output: transformed hidden states [N, L, dim] (NOT logits — the vocab
+    projection is a separate frozen head, see module docstring).
+    """
+
+    dim: int = 768
+    n_layers: int = 6
+    n_heads: int = 12
+    hidden_dim: int = 3072
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    initializer_range: float = 0.02
+    dtype: Dtype = jnp.bfloat16
+    attention_fn: Optional[Callable] = None
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic: bool = True):
+        N, L, _ = x.shape
+        pos = self.param(
+            "position_embeddings",
+            initializers.normal(self.initializer_range),
+            (self.max_position_embeddings, self.dim),
+            jnp.float32,
+        )
+        x = x.astype(self.dtype) + pos[:L].astype(self.dtype)[None]
+        x = nn.LayerNorm(
+            epsilon=self.layer_norm_eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="embed_layer_norm",
+        )(x)
+        x = nn.Dropout(rate=self.dropout)(x, deterministic=deterministic)
+
+        block_cls = TransformerBlock
+        if self.remat:
+            block_cls = nn.remat(TransformerBlock, static_argnums=(2,))
+        for i in range(self.n_layers):
+            x = block_cls(
+                dim=self.dim,
+                n_heads=self.n_heads,
+                hidden_dim=self.hidden_dim,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                layer_norm_eps=self.layer_norm_eps,
+                dtype=self.dtype,
+                initializer_range=self.initializer_range,
+                attention_fn=self.attention_fn,
+                name=f"layer_{i}",
+            )(x, mask, deterministic)
+
+        # MLM transform head with identity vocab projector (CLIP-DDPM.py:250).
+        x = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=initializers.normal(self.initializer_range),
+            name="vocab_transform",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(
+            epsilon=self.layer_norm_eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="vocab_layer_norm",
+        )(x)
+        return x

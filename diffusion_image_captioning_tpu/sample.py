@@ -1,0 +1,201 @@
+"""Sampling / generation.
+
+The reference's generator is NOT ancestral diffusion sampling: it repeatedly
+feeds the denoiser's hidden output back into itself — 5 applications at BLEU
+eval (CLIP-DDPM.py:616-617), 10 in the demo (:592-593) — starting from pure
+Gaussian noise, with text conditioning zeroed and an all-ones mask. This
+module provides:
+
+  * ``refine``: that K-step self-refinement loop as one ``lax.scan`` inside
+    jit (device loop, no per-step Python dispatch);
+  * ``restore_at_t``: the "t effectiveness" single-shot restoration demo
+    (CLIP-DDPM.py:597-602), batched over the probed timesteps;
+  * ``ancestral_sample``: a true DDPM reverse-process sampler over the
+    posterior tables (schedules.posterior_tables) — the framework extension
+    called for by BASELINE.json's north star (100 steps in one scan), which
+    the reference never implements;
+  * host-side ``greedy_decode_ids``: softmax-argmax + unique_consecutive
+    dedup, the exact decode protocol of CLIP-DDPM.py:620-621.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_image_captioning_tpu.config import Config
+from diffusion_image_captioning_tpu.models.denoiser import CLIPDiffusionLM
+
+
+def _cond_inputs(cfg: Config, image_clip, B: int):
+    """Eval-time conditioning: image on, text zeroed, mask all ones,
+    concat_mask rows [1, 0] (CLIP-DDPM.py:617 — text CLIP is a train-time
+    auxiliary signal only, SURVEY.md fidelity note 5)."""
+    if image_clip is None:
+        image_clip = jnp.zeros((B, 1, cfg.clip_dim), jnp.float32)
+    elif image_clip.ndim == 2:
+        image_clip = image_clip[:, None, :]
+    text_clip = jnp.zeros_like(image_clip)
+    mask = jnp.ones((B, cfg.max_length), jnp.float32)
+    cmask = jnp.tile(jnp.asarray([1.0, 0.0], jnp.float32), (B, 1))
+    return image_clip, text_clip, mask, cmask
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "cfg", "steps", "collect_logits")
+)
+def refine(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    x_init: jnp.ndarray,           # [B, L, C] starting point (noise or x_t)
+    image_clip: Optional[jnp.ndarray],  # [B, clip_dim] or [B,1,clip_dim] or None
+    *,
+    steps: int,
+    collect_logits: bool = False,
+):
+    """K-step self-refinement. Returns (final_logits [B,L,V], final_x,
+    per_step_logits or None).
+
+    Matches the reference loop: each iteration feeds hidden[:, :L] back
+    (CLIP-DDPM.py:593,617); the returned logits correspond to the final
+    application's output.
+    """
+    B = x_init.shape[0]
+    img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
+
+    def body(x, _):
+        out = model.apply(
+            {"params": params}, x, img, txt, mask, cmask,
+            deterministic=True, return_logits=collect_logits,
+        )
+        nxt = out.hidden[:, : cfg.max_length]
+        return nxt, (out.logits if collect_logits else None)
+
+    x_final, logits_seq = jax.lax.scan(body, x_init, None, length=steps)
+    if collect_logits:
+        final_logits = logits_seq[-1]
+    else:
+        # One vocab matmul at the end instead of K of them.
+        final_logits = model.apply(
+            {"params": params}, x_final, method="decode_logits"
+        )
+    return final_logits, x_final, (logits_seq if collect_logits else None)
+
+
+def sample_captions(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    image_clip: jnp.ndarray,  # [B, clip_dim]
+    key: jax.Array,
+    *,
+    steps: Optional[int] = None,
+):
+    """Generate caption logits from pure noise (CLIP-DDPM.py:613-617).
+
+    The reference draws the initial noise with L+2 positions and slices to L
+    before the first application (:613,617) — an L-position draw is
+    distributionally identical, so we draw [B, L, C] directly.
+    """
+    steps = cfg.refine_steps_eval if steps is None else steps
+    B = image_clip.shape[0]
+    x0 = jax.random.normal(key, (B, cfg.max_length, cfg.in_channel), jnp.float32)
+    logits, x_final, _ = refine(
+        model, cfg, params, x0, image_clip, steps=steps
+    )
+    return logits, x_final
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg"))
+def restore_at_t(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    abar: jnp.ndarray,
+    x0: jnp.ndarray,          # [1, L, C] clean embedding of a real caption
+    t: jnp.ndarray,           # [K] int32 probe timesteps
+    image_clip: jnp.ndarray,  # [1, clip_dim]
+    mask: jnp.ndarray,        # [1, L]
+    key: jax.Array,
+):
+    """Single-shot restoration at each probe t, as ONE batched forward
+    (the reference loops t in Python, CLIP-DDPM.py:598-602)."""
+    from diffusion_image_captioning_tpu.diffusion import q_sample
+
+    K = t.shape[0]
+    x_t = q_sample(abar, x0, t, key, shared_noise=False)  # [K, L, C]
+    img = jnp.tile(image_clip[:, None, :], (K, 1, 1))
+    txt = jnp.zeros_like(img)
+    m = jnp.tile(mask.astype(jnp.float32), (K, 1))
+    cmask = jnp.tile(jnp.asarray([1.0, 0.0], jnp.float32), (K, 1))
+    out = model.apply(
+        {"params": params}, x_t, img, txt, m, cmask, deterministic=True
+    )
+    return out.logits  # [K, L, V]
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "steps"))
+def ancestral_sample(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    tables: dict,             # schedules.posterior_tables(cfg)
+    image_clip: jnp.ndarray,  # [B, clip_dim]
+    key: jax.Array,
+    *,
+    steps: int = 100,
+):
+    """True DDPM ancestral sampling (framework extension; no reference
+    counterpart — the reference's sampler is `refine`).
+
+    The denoiser is an x0-predictor (X_0_PREDICTION=True config), so each
+    reverse step computes the posterior q(x_{s} | x_t, x0_hat) mean/variance
+    from the precomputed tables and samples. `steps` evenly strides the T
+    timesteps; the whole loop is one lax.scan.
+    """
+    B = image_clip.shape[0]
+    L, C = cfg.max_length, cfg.in_channel
+    img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
+    coef_x0 = tables["posterior_mean_coef_x0"]
+    coef_xt = tables["posterior_mean_coef_xt"]
+    post_var = tables["posterior_variance"]
+
+    ts = jnp.linspace(cfg.step_tot - 1, 0, steps).astype(jnp.int32)
+    key, k0 = jax.random.split(key)
+    x_init = jax.random.normal(k0, (B, L, C), jnp.float32)
+
+    def body(carry, t):
+        x, k = carry
+        k, kn = jax.random.split(k)
+        out = model.apply(
+            {"params": params}, x, img, txt, mask, cmask,
+            deterministic=True, return_logits=False,
+        )
+        x0_hat = out.hidden[:, :L]
+        mean = coef_x0[t] * x0_hat + coef_xt[t] * x
+        noise = jax.random.normal(kn, x.shape, jnp.float32)
+        sigma = jnp.sqrt(jnp.maximum(post_var[t], 0.0))
+        x_next = jnp.where(t > 0, mean + sigma * noise, x0_hat)
+        return (x_next, k), None
+
+    (x_final, _), _ = jax.lax.scan(body, (x_init, key), ts)
+    logits = model.apply({"params": params}, x_final, method="decode_logits")
+    return logits, x_final
+
+
+def greedy_decode_ids(logits: np.ndarray) -> list[np.ndarray]:
+    """argmax + consecutive-duplicate collapse, per row — the reference's
+    softmax().argmax().unique_consecutive() (CLIP-DDPM.py:620-621; softmax
+    doesn't change the argmax). Host-side; rows become variable length."""
+    ids = np.asarray(logits).argmax(axis=-1)
+    out = []
+    for row in ids:
+        keep = np.ones(len(row), bool)
+        keep[1:] = row[1:] != row[:-1]
+        out.append(row[keep])
+    return out

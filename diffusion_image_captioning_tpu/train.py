@@ -1,0 +1,358 @@
+"""Training: jitted train/eval steps and the epoch driver.
+
+Reference contract (CLIP-DDPM.py:451-561):
+  * per optimizer step: embed ids -> x0; draw S=100 timesteps; q-sample x_t
+    [S*B,L,C] and x_1 [B,L,C]; run the denoiser on both; three-term loss;
+    AdamW step (train_func, :458-486).
+  * per epoch: override LR from the schedule array (:520-522), accumulate the
+    three loss terms, optional dynamic rounding weight (:535-536), validate,
+    early-stop checkpoint that does NOT break the loop (:548-557), append a
+    reference-format log line (:554).
+
+TPU-first deviations (math-preserving):
+  * the reference runs TWO denoiser forwards per step (batch 800 then batch
+    8, CLIP-DDPM.py:415,426). Rows don't interact (no batch norm; CFG mixing
+    is per-row), so we fuse them into ONE forward of S*B+B rows — same math,
+    one kernel launch, better MXU utilization.
+  * boolean-indexed CFG becomes an always-computed second forward blended by
+    `where` (SURVEY.md section 7, hard part (e)).
+  * gradients exist only for the trainable partition (the reference's custom
+    parameters(), CLIP-DDPM.py:258-269, realized as a pytree split).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax import traverse_util
+
+from diffusion_image_captioning_tpu import diffusion, losses, schedules
+from diffusion_image_captioning_tpu.config import Config
+from diffusion_image_captioning_tpu.models.denoiser import (
+    CLIPDiffusionLM,
+    param_labels,
+)
+
+# ---------------------------------------------------------------------------
+# Parameter partition
+# ---------------------------------------------------------------------------
+
+
+def partition_params(params, cfg: Config):
+    """Split the param tree into (trainable, frozen) flat dicts keyed by
+    path tuples. Frozen = embedding table + vocab head when the embedding is
+    frozen (CLIP-DDPM.py:245-247,258-269)."""
+    labels = traverse_util.flatten_dict(param_labels(params, cfg))
+    flat = traverse_util.flatten_dict(params)
+    trainable = {k: v for k, v in flat.items() if labels[k] == "trainable"}
+    frozen = {k: v for k, v in flat.items() if labels[k] == "frozen"}
+    return trainable, frozen
+
+
+def merge_params(trainable: dict, frozen: dict):
+    return traverse_util.unflatten_dict({**frozen, **trainable})
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    trainable: Any
+    frozen: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """AdamW with torch defaults (CLIP-DDPM.py:335 — lr overridden per epoch,
+    weight decay 0.01 applied to every trained leaf, like torch)."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=cfg.learning_rate,
+        b1=cfg.adam_b1,
+        b2=cfg.adam_b2,
+        eps=cfg.adam_eps,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def init_train_state(cfg: Config, params, tx: optax.GradientTransformation) -> TrainState:
+    trainable, frozen = partition_params(params, cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        trainable=trainable,
+        frozen=frozen,
+        opt_state=tx.init(trainable),
+    )
+
+
+def set_learning_rate(state: TrainState, lr: float) -> TrainState:
+    """Per-epoch LR override (CLIP-DDPM.py:520-522)."""
+    hp = dict(state.opt_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return state.replace(opt_state=state.opt_state._replace(hyperparams=hp))
+
+
+# ---------------------------------------------------------------------------
+# Loss computation (shared by train and validation)
+# ---------------------------------------------------------------------------
+
+
+def compute_losses(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    abar: jnp.ndarray,
+    params,
+    batch: dict,
+    key: jax.Array,
+    lam: jnp.ndarray,
+    *,
+    deterministic: bool,
+) -> dict:
+    """The three loss terms for one batch (CLIP-DDPM.py:382-445 semantics).
+
+    batch: input_ids [B,L] int32, attention_mask [B,L], and (unless fusion is
+    "none") image_clip/text_clip [B, clip_dim].
+    """
+    S, B, L = cfg.sample_size, batch["input_ids"].shape[0], cfg.max_length
+    t_key, n_key, n1_key, cfg_key, drop_key = jax.random.split(key, 5)
+
+    ids = batch["input_ids"]
+    mask = batch["attention_mask"].astype(jnp.float32)
+    x0 = model.apply({"params": params}, ids, method="embed")  # [B,L,C]
+
+    t = jax.random.randint(t_key, (S,), 0, cfg.step_tot)
+    x_t, x_tgt = diffusion.diffuse_pair(
+        abar, x0, t, n_key,
+        x_0_prediction=cfg.x_0_prediction,
+        t_interval=cfg.x_t_step_interval,
+        shared_noise=cfg.shared_qsample_noise,
+    )
+    x_1 = diffusion.q_sample(
+        abar, x0, jnp.ones((1,), jnp.int32), n1_key,
+        shared_noise=cfg.shared_qsample_noise,
+    )  # [B,L,C]
+
+    # Fused forward: S*B x_t rows followed by B x_1 rows.
+    xin = jnp.concatenate([x_t, x_1], axis=0)
+    mask_in = jnp.concatenate([jnp.tile(mask, (S, 1)), mask], axis=0)
+    cmask_t = losses.cfg_concat_mask(cfg_key, S * B, cfg)
+    cmask_1 = jnp.tile(jnp.asarray([1.0, 0.0], jnp.float32), (B, 1))
+    cmask = jnp.concatenate([cmask_t, cmask_1], axis=0)
+
+    if cfg.clip_adding_method != "none":
+        img = batch["image_clip"][:, None, :]  # [B,1,512]
+        txt = batch["text_clip"][:, None, :]
+        img_in = jnp.concatenate([jnp.tile(img, (S, 1, 1)), img], axis=0)
+        txt_in = jnp.concatenate([jnp.tile(txt, (S, 1, 1)), txt], axis=0)
+    else:
+        img_in = txt_in = jnp.zeros((S * B + B, 1, cfg.clip_dim), jnp.float32)
+
+    rngs = {} if deterministic else {"dropout": drop_key}
+    out = model.apply(
+        {"params": params}, xin, img_in, txt_in, mask_in, cmask,
+        deterministic=deterministic, rngs=rngs,
+    )
+    hid_t, hid_1 = out.hidden[: S * B], out.hidden[S * B :]
+    log_t, log_1 = out.logits[: S * B], out.logits[S * B :]
+
+    dist = losses.distance(cfg.loss_func)
+    zero = jnp.zeros((), jnp.float32)
+
+    if cfg.use_x_t_loss:
+        tgt = jnp.tile(x0, (S, 1, 1)) if cfg.x_0_prediction else x_tgt
+        x_t_loss = dist(hid_t[:, :L], tgt, cfg)
+    else:
+        x_t_loss = zero
+    x_1_loss = dist(hid_1[:, :L], x0, cfg) if cfg.use_x_1_loss else zero
+
+    if cfg.use_prob_loss:
+        if cfg.rounding_max_prob:
+            # lm-trial variant: -log max softmax over the x_1 branch only
+            # (lm-trial/main.py:187).
+            prob = losses.max_prob_rounding_loss(log_1)
+        else:
+            prob = losses.rounding_loss(
+                log_t, jnp.tile(ids, (S, 1)), cfg
+            ) + losses.rounding_loss(log_1, ids, cfg)
+        prob = lam * prob
+    else:
+        prob = zero
+
+    total = x_t_loss + x_1_loss + prob
+    return {
+        "x_t_loss": x_t_loss,
+        "x_1_loss": x_1_loss,
+        "prob_loss": prob,
+        "total": total,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Steps
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    tx: optax.GradientTransformation,
+    abar: Optional[jnp.ndarray] = None,
+) -> Callable:
+    """Returns jitted step(state, batch, key, lam) -> (state, metrics).
+
+    Donates the state buffers; with sharded inputs (parallel/mesh.py) XLA
+    inserts the grad all-reduce over the data axis automatically.
+    """
+    abar = schedules.alpha_cumprod_table(cfg) if abar is None else abar
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, batch: dict, key: jax.Array, lam: jnp.ndarray):
+        def loss_fn(trainable):
+            params = merge_params(trainable, state.frozen)
+            m = compute_losses(
+                model, cfg, abar, params, batch, key, lam, deterministic=False
+            )
+            return m["total"], m
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            trainable=trainable,
+            opt_state=opt_state,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(
+    model: CLIPDiffusionLM, cfg: Config, abar: Optional[jnp.ndarray] = None
+) -> Callable:
+    """Jitted validation losses (no grad, no dropout — CLIP-DDPM.py:488-501)."""
+    abar = schedules.alpha_cumprod_table(cfg) if abar is None else abar
+
+    @jax.jit
+    def step(state: TrainState, batch: dict, key: jax.Array, lam: jnp.ndarray):
+        params = merge_params(state.trainable, state.frozen)
+        return compute_losses(
+            model, cfg, abar, params, batch, key, lam, deterministic=True
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Epoch driver
+# ---------------------------------------------------------------------------
+
+
+def fit(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    state: TrainState,
+    train_batches,   # re-iterable of batch dicts
+    val_batches,     # re-iterable of batch dicts
+    *,
+    seed: int = 0,
+    summary=None,            # file-like; reference-format lines appended
+    checkpoint_fn=None,      # fn(state, tag) called at early-stop / final
+    debug: Optional[bool] = None,
+    progress_fn=None,        # fn(epoch, step, metrics) per-step hook
+):
+    """The epoch loop (CLIP-DDPM.py:515-561), host-side.
+
+    Returns (state, history) where history is a list of per-epoch dicts with
+    the six averaged loss scalars, matching the log line order.
+    """
+    debug = cfg.debug if debug is None else debug
+    tx = make_optimizer(cfg)
+    train_step = make_train_step(model, cfg, tx)
+    eval_step = make_eval_step(model, cfg)
+    lrs = schedules.learning_rates(cfg)
+    key = jax.random.PRNGKey(seed)
+    lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
+    dyn = cfg.dynamic_rounding_weight
+
+    early_stopped = False
+    history = []
+    for epoch in range(cfg.epoch_num):
+        if cfg.end_learning_rate != cfg.learning_rate:
+            state = set_learning_rate(state, float(lrs[epoch]))
+
+        acc = {"x_t_loss": [], "x_1_loss": [], "prob_loss": [], "total": []}
+        n_train = 0
+        for batch in train_batches:
+            key, k = jax.random.split(key)
+            state, metrics = train_step(state, batch, k, lam)
+            for name in acc:
+                acc[name].append(metrics[name])
+            n_train += 1
+            if dyn > 0:
+                # Host-side dynamic lambda on accumulated scalars
+                # (CLIP-DDPM.py:535-536). Forces a sync per step; only the
+                # fidelity path pays it.
+                s_xt = float(jnp.sum(jnp.stack(acc["x_t_loss"])))
+                s_x1 = float(jnp.sum(jnp.stack(acc["x_1_loss"])))
+                s_pr = float(jnp.sum(jnp.stack(acc["prob_loss"])))
+                if s_pr > 0:
+                    lam = jnp.asarray((s_xt + s_x1) / s_pr * dyn, jnp.float32)
+            if progress_fn is not None:
+                progress_fn(epoch, n_train, metrics)
+            if debug:
+                break
+        train_avg = {
+            name: float(jnp.mean(jnp.stack(vals))) for name, vals in acc.items()
+        }
+
+        val_acc = {"x_t_loss": 0.0, "x_1_loss": 0.0, "prob_loss": 0.0}
+        n_val = 0
+        for batch in val_batches:
+            key, k = jax.random.split(key)
+            m = eval_step(state, batch, k, lam)
+            for name in val_acc:
+                val_acc[name] += float(m[name])
+            n_val += 1
+            if debug:
+                break
+        val_avg = {k_: v / max(n_val, 1) for k_, v in val_acc.items()}
+
+        # Early stop: checkpoint once, keep training (CLIP-DDPM.py:548-557).
+        if sum(val_avg.values()) > cfg.early_stop_ratio * train_avg["total"]:
+            if not early_stopped:
+                if summary is not None:
+                    summary.write("early stop! \n")
+                if checkpoint_fn is not None:
+                    checkpoint_fn(state, "early_stop")
+            early_stopped = True
+
+        row = {
+            "epoch": epoch,
+            "train_x_t": train_avg["x_t_loss"],
+            "train_x_1": train_avg["x_1_loss"],
+            "train_prob": train_avg["prob_loss"],
+            "val_x_t": val_avg["x_t_loss"],
+            "val_x_1": val_avg["x_1_loss"],
+            "val_prob": val_avg["prob_loss"],
+        }
+        history.append(row)
+        if summary is not None:
+            # Byte-compatible epoch line (CLIP-DDPM.py:554).
+            summary.write(
+                f"epoch {epoch} average x_t_loss, x_1_loss, prob_loss, val losses: "
+                f"{row['train_x_t']}, {row['train_x_1']}, {row['train_prob']}, "
+                f"{row['val_x_t']}, {row['val_x_1']}, {row['val_prob']}\n"
+            )
+            summary.flush()
+        if debug:
+            break
+
+    if not early_stopped and checkpoint_fn is not None:
+        checkpoint_fn(state, "final")
+    return state, history

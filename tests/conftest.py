@@ -1,19 +1,32 @@
 """Test harness setup.
 
-All tests run on CPU with a virtual 8-device mesh so multi-chip sharding logic
-(shard_map / pjit over a Mesh) is exercised without TPU hardware, mirroring the
-reference's absence of any test suite with a real suite (SURVEY.md section 4).
-Must run before the first `import jax` anywhere in the test process.
+All tests run on CPU with a virtual 8-device mesh so multi-chip sharding
+logic (shard_map / pjit over a Mesh) is exercised without TPU hardware,
+mirroring the reference's absence of any test suite with a real suite
+(SURVEY.md section 4). Must run before the first `import jax` anywhere in
+the test process.
+
+The host has a single CPU core and XLA:CPU compiles are expensive, so the
+JAX persistent compilation cache is enabled: the first full-suite run pays
+the compile cost once; subsequent runs hit the cache.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU — the environment presets JAX_PLATFORMS to the TPU tunnel
+# platform, so this must be an override, not a setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

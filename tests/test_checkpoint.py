@@ -1,0 +1,54 @@
+"""Checkpoint round-trip tests (Orbax) + val-split artifacts."""
+
+import jax
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu import checkpoint as ck
+from diffusion_image_captioning_tpu import train as tr
+from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+from tests.tiny import TINY
+
+
+@pytest.fixture(scope="module")
+def state():
+    _, params = init_denoiser(TINY, jax.random.PRNGKey(0))
+    tx = tr.make_optimizer(TINY)
+    return tr.init_train_state(TINY, params, tx)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, state, tmp_path):
+        path = ck.save(state, TINY, "run1", str(tmp_path), val_indices=np.arange(5))
+        assert path.endswith("run1.ckpt")
+        restored, cfg, val_idx = ck.restore("run1", str(tmp_path), template=state)
+        assert cfg == TINY
+        np.testing.assert_array_equal(val_idx, np.arange(5))
+        for k in state.trainable:
+            np.testing.assert_array_equal(
+                np.asarray(restored.trainable[k]), np.asarray(state.trainable[k])
+            )
+        for k in state.frozen:
+            np.testing.assert_array_equal(
+                np.asarray(restored.frozen[k]), np.asarray(state.frozen[k])
+            )
+        assert int(restored.step) == int(state.step)
+
+    def test_params_only_resume_resets_optimizer(self, state, tmp_path):
+        ck.save(state, TINY, "run2", str(tmp_path))
+        tx = tr.make_optimizer(TINY)
+        _, params = init_denoiser(TINY, jax.random.PRNGKey(9))
+        fresh = tr.init_train_state(TINY, params, tx)
+        resumed = ck.restore_params_only("run2", str(tmp_path), fresh)
+        # weights come from the checkpoint...
+        k = ("image_linear", "kernel")
+        np.testing.assert_array_equal(
+            np.asarray(resumed.trainable[k]), np.asarray(state.trainable[k])
+        )
+        # ...but step/opt state are fresh (CLIP-DDPM.py:505-508 semantics)
+        assert int(resumed.step) == 0
+
+    def test_val_indices_artifact(self, tmp_path):
+        idx = np.asarray([4, 8, 15, 16, 23, 42])
+        ck.save_val_indices("run3", str(tmp_path), idx)
+        np.testing.assert_array_equal(ck.load_val_indices("run3", str(tmp_path)), idx)

@@ -1,0 +1,173 @@
+"""Data-layer tests: tokenizers, batcher, splits, CSV pipelines."""
+
+import os
+
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu.data import batcher as bt
+from diffusion_image_captioning_tpu.data import flickr, textonly
+from diffusion_image_captioning_tpu.data import tokenizers as tk
+
+
+class TestWordTokenize:
+    def test_lowercase_and_punct_split(self):
+        assert tk.word_tokenize("A man, running.") == ["a", "man", ",", "running", "."]
+
+    def test_sentence_split_keeps_period(self):
+        toks = tk.word_tokenize("a dog . a cat . trailing words")
+        sents = tk.split_sentences(toks)
+        # trailing fragment without '.' dropped (CLIP-DDPM.py:143-147)
+        assert sents == [["a", "dog", "."], ["a", "cat", "."]]
+
+
+class TestCaptionVocab:
+    def test_min_freq_strictly_greater(self):
+        caps = ["dog ."] * 11 + ["cat ."] * 10
+        vocab = tk.build_caption_vocab(caps, min_freq=10)
+        assert "dog" in vocab and "cat" not in vocab
+        assert vocab["START"] == 0 and vocab["PAD"] == 3
+
+    def test_dict_tokenizer_encode(self):
+        vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3, "dog": 4}
+        t = tk.DictTokenizer(vocab)
+        ids, mask = t.encode("dog unknown", 6)
+        # START dog UNK END + UNK padding (CLIP-DDPM.py:184-188)
+        np.testing.assert_array_equal(ids, [0, 4, 2, 1, 2, 2])
+        np.testing.assert_array_equal(mask, [1, 1, 1, 1, 0, 0])
+
+    def test_decode(self):
+        vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3, "dog": 4}
+        t = tk.DictTokenizer(vocab)
+        assert t.decode([0, 4, 1]) == "START dog END"
+
+
+class TestWordPiece:
+    def make(self):
+        vocab = {}
+        for tok in ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "un", "##able", "##c",
+                    "able", "run", "##ning", "dog", "."]:
+            vocab[tok] = len(vocab)
+        return tk.WordPieceTokenizer(vocab)
+
+    def test_greedy_longest_match(self):
+        t = self.make()
+        assert t.wordpiece("unable") == [t.vocab["un"], t.vocab["##able"]]
+        assert t.wordpiece("running") == [t.vocab["run"], t.vocab["##ning"]]
+        assert t.wordpiece("xyz") == [t.unk_id]
+
+    def test_encode_fixed_length(self):
+        t = self.make()
+        ids, mask = t.encode("dog running.", 8)
+        assert ids.shape == (8,)
+        assert ids[0] == t.cls_id
+        assert list(ids[:6]) == [
+            t.vocab["[CLS]"], t.vocab["dog"], t.vocab["run"], t.vocab["##ning"],
+            t.vocab["."], t.vocab["[SEP]"],
+        ]
+        np.testing.assert_array_equal(mask, [1, 1, 1, 1, 1, 1, 0, 0])
+
+    def test_encode_truncates(self):
+        t = self.make()
+        ids, mask = t.encode("dog dog dog dog dog dog dog dog dog", 5)
+        assert ids.shape == (5,)
+        assert ids[-1] == t.sep_id
+        assert mask.sum() == 5
+
+    def test_decode_merges_and_keeps_specials(self):
+        t = self.make()
+        s = t.decode([t.cls_id, t.vocab["run"], t.vocab["##ning"], t.sep_id, t.pad_id])
+        assert s == "[CLS] running [SEP] [PAD]"
+
+    def test_built_vocab_roundtrip(self):
+        texts = ["the dog runs fast", "the cat runs faster"]
+        vocab = tk.build_wordpiece_vocab(texts, vocab_size=200)
+        t = tk.WordPieceTokenizer(vocab)
+        ids, _ = t.encode("the dog runs", 8)
+        assert "dog" in t.decode(ids)
+
+
+class TestBatcher:
+    def test_split_disjoint_full(self):
+        tr, va = bt.split_indices(100, 0.8, seed=1)
+        assert len(tr) == 80 and len(va) == 20
+        assert set(tr) | set(va) == set(range(100))
+        assert not set(tr) & set(va)
+
+    def test_fixed_shapes_drop_last(self):
+        cols = {"x": np.arange(23)[:, None], "meta": [str(i) for i in range(23)]}
+        b = bt.Batcher(cols, np.arange(23), batch_size=5, shuffle=False)
+        batches = list(b)
+        assert len(batches) == 4  # drop_last
+        assert all(x["x"].shape == (5, 1) for x in batches)
+        assert batches[0]["meta"] == ["0", "1", "2", "3", "4"]
+
+    def test_shuffle_differs_across_epochs(self):
+        cols = {"x": np.arange(32)[:, None]}
+        b = bt.Batcher(cols, np.arange(32), batch_size=32, shuffle=True, seed=0)
+        e1 = next(iter(b))["x"][:, 0].tolist()
+        e2 = next(iter(b))["x"][:, 0].tolist()
+        assert e1 != e2
+        assert sorted(e1) == sorted(e2) == list(range(32))
+
+
+class TestTextOnly:
+    def test_csv_reader_and_dataset(self, tmp_path):
+        p = tmp_path / "t.csv"
+        p.write_text("par_id,text\n1,hello world\n2,\n3,another line\n")
+        texts = textonly.read_text_column(str(p))
+        assert texts == ["hello world", "another line"]  # empty row dropped
+        cols, tok = textonly.make_text_dataset(texts, max_length=6)
+        assert cols["input_ids"].shape == (2, 6)
+        assert cols["attention_mask"].dtype == np.int32
+
+    @pytest.mark.skipif(
+        not os.path.exists("/root/reference/lm-trial/train.csv"),
+        reason="reference data not mounted",
+    )
+    def test_reads_reference_lm_trial_csv(self):
+        texts = textonly.read_text_column("/root/reference/lm-trial/train.csv")
+        assert len(texts) > 6000
+
+
+class TestFlickr:
+    def test_captions_csv(self, tmp_path):
+        p = tmp_path / "captions.txt"
+        p.write_text('image,caption\na.jpg,"A dog runs."\na.jpg,"A dog sits."\nb.jpg,"A cat."\n')
+        imgs, caps = flickr.read_captions_csv(str(p))
+        assert imgs == ["a.jpg", "a.jpg", "b.jpg"]
+        assert caps[0] == "A dog runs."
+
+    def test_pipe_separated_30k_format(self, tmp_path):
+        p = tmp_path / "captions.csv"
+        p.write_text("image_name| comment_number| caption\nx.jpg| 0| A man.\n")
+        imgs, caps = flickr.read_captions_csv(
+            str(p), image_col="image_name", sep="|"
+        )
+        assert imgs == ["x.jpg"]
+        assert caps[0].strip() == "A man."
+
+    def test_make_dataset_aligned(self, tmp_path):
+        vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3}
+        t = tk.DictTokenizer(vocab)
+        ds = flickr.make_flickr_dataset(
+            ["a.jpg", "b.jpg"], ["a dog", "a cat"],
+            np.zeros((2, 512), np.float32), np.zeros((2, 512), np.float32),
+            t, max_length=4,
+        )
+        assert ds["input_ids"].shape == (2, 4)
+        assert ds["image"] == ["a.jpg", "b.jpg"]
+
+    def test_misaligned_raises(self):
+        vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3}
+        t = tk.DictTokenizer(vocab)
+        with pytest.raises(ValueError):
+            flickr.make_flickr_dataset(
+                ["a.jpg"], ["a", "b"],
+                np.zeros((2, 512), np.float32), np.zeros((2, 512), np.float32),
+                t, 4,
+            )
+
+    def test_captions_by_image(self):
+        table = flickr.captions_by_image(["a", "a", "b"], ["c1", "c2", "c3"])
+        assert table == {"a": ["c1", "c2"], "b": ["c3"]}

@@ -1,0 +1,77 @@
+"""BLEU scorer tests against hand-computed values (Papineni et al. 2002
+definition), plus the reference's formatting protocol."""
+
+import math
+
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu import eval_bleu as eb
+
+
+class TestBleuCorpus:
+    def test_perfect_match(self):
+        c = [["a", "b", "c", "d", "e"]]
+        r = [[["a", "b", "c", "d", "e"]]]
+        assert eb.bleu_corpus(c, r) == pytest.approx(1.0)
+
+    def test_no_fourgram_overlap_is_zero(self):
+        c = [["a", "b", "c", "d"]]
+        r = [[["a", "b", "c", "x"]]]
+        assert eb.bleu_corpus(c, r) == 0.0
+
+    def test_hand_computed_value(self):
+        # candidate: "the cat sat on the mat" (6 tokens)
+        # reference: "the cat sat on a mat"   (6 tokens)
+        c = [["the", "cat", "sat", "on", "the", "mat"]]
+        r = [[["the", "cat", "sat", "on", "a", "mat"]]]
+        # 1-gram: matches the,cat,sat,on,mat(the clipped: ref has 1 'the') = 5/6
+        # 2-gram: the-cat, cat-sat, sat-on, (on-the X), (the-mat X) = 3/5
+        # 3-gram: the-cat-sat, cat-sat-on = 2/4
+        # 4-gram: the-cat-sat-on = 1/3
+        expect = math.exp(
+            (math.log(5 / 6) + math.log(3 / 5) + math.log(2 / 4) + math.log(1 / 3)) / 4
+        )
+        assert eb.bleu_corpus(c, r) == pytest.approx(expect, rel=1e-9)
+
+    def test_brevity_penalty(self):
+        c = [["a", "b", "c", "d"]]
+        r = [[["a", "b", "c", "d", "e", "f"]]]
+        # precisions all 1 (clipped); BP = exp(1 - 6/4)
+        assert eb.bleu_corpus(c, r) == pytest.approx(math.exp(1 - 6 / 4), rel=1e-9)
+
+    def test_closest_ref_length_tie_prefers_shorter(self):
+        c = [["a", "b", "c"]]  # len 3
+        r = [[["a", "b"], ["a", "b", "c", "d"]]]  # lens 2 and 4, both |d|=1
+        # chosen ref len = 2 -> cand longer -> BP = 1
+        # 1g: a,b,c -> a,b clipped from ref1? max counts over refs: a1 b1 c1 d1 => 3/3
+        # 2g: ab, bc -> ab(1), bc(1 from ref2) => 2/2; 3g: abc -> ref2 has abc => 1/1
+        # 4g: none in candidate -> bleu = 0 (min num == 0)
+        assert eb.bleu_corpus(c, r, max_n=3) == pytest.approx(1.0)
+
+    def test_corpus_pooling(self):
+        # two sentences pooled: counts add before the ratio
+        c = [["a", "b"], ["c", "d"]]
+        r = [[["a", "b"]], [["c", "x"]]]
+        got = eb.bleu_corpus(c, r, max_n=2)
+        # 1g: (2 + 1)/(2+2)=3/4 ; 2g: (1 + 0)/(1+1)=1/2 -> min num 1 ok
+        expect = math.exp((math.log(3 / 4) + math.log(1 / 2)) / 2)
+        assert got == pytest.approx(expect, rel=1e-9)
+
+
+class TestProtocol:
+    def test_format_references(self):
+        out = eb.format_references(["A Dog runs. ", "Cat"])
+        assert out == ["[CLS] a dog runs. [SEP]", "[CLS] cat [SEP]"]
+
+    def test_flickr_batch_bleu_selfmatch(self):
+        cands = ["[CLS] a dog runs fast today [SEP]"]
+        refs = [["a dog runs fast today"]]
+        # candidate == '[CLS] ' + ref + ' [SEP]' exactly
+        assert eb.flickr_batch_bleu(cands, refs) == pytest.approx(1.0)
+
+    def test_coco_tokens(self):
+        toks = eb.coco_candidate_tokens("a dog.runs fast", 4)
+        assert toks == ["a", "dog", "runs", "fast"]
+        refs = eb.coco_reference_tokens(["A dog RUNS"], 16)
+        assert refs == [["[CLS]", "a", "dog", "runs", "[SEP]"]]

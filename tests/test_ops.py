@@ -1,0 +1,66 @@
+"""Fused-op tests: rounding-loss op (fwd/bwd vs dense) and Pallas attention
+(interpret mode vs the XLA reference)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu.models.distilbert import mha_reference
+from diffusion_image_captioning_tpu.ops.attention import fused_attention
+from diffusion_image_captioning_tpu.ops.rounding import fused_logprob
+
+
+class TestFusedLogprob:
+    def setup_method(self):
+        self.M, self.C, self.V = 12, 16, 300
+        self.h = jax.random.normal(jax.random.PRNGKey(0), (self.M, self.C))
+        self.W = jax.random.normal(jax.random.PRNGKey(1), (self.C, self.V)) * 0.3
+        self.idx = jax.random.randint(jax.random.PRNGKey(2), (self.M,), 0, self.V)
+
+    def _dense(self, h, W):
+        z = h @ W
+        return (
+            jnp.take_along_axis(z, self.idx[:, None], -1)[:, 0]
+            - jax.nn.logsumexp(z, axis=-1)
+        )
+
+    def test_forward_matches_dense(self):
+        got = fused_logprob(self.h, self.W, self.idx, 128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(self._dense(self.h, self.W)), atol=1e-5
+        )
+
+    def test_forward_vocab_not_tile_multiple(self):
+        # V=300 is not a multiple of 128 — padding columns must not leak.
+        got = fused_logprob(self.h, self.W, self.idx, 256)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(self._dense(self.h, self.W)), atol=1e-5
+        )
+
+    def test_gradients_match_dense(self):
+        g1 = jax.grad(
+            lambda h, W: fused_logprob(h, W, self.idx, 128).sum(), argnums=(0, 1)
+        )(self.h, self.W)
+        g2 = jax.grad(
+            lambda h, W: self._dense(h, W).sum(), argnums=(0, 1)
+        )(self.h, self.W)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=1e-4)
+
+    def test_large_logits_stable(self):
+        got = fused_logprob(self.h * 100, self.W * 100, self.idx, 128)
+        assert np.all(np.isfinite(np.asarray(got)))
+
+
+class TestPallasAttention:
+    @pytest.mark.parametrize("shape", [(3, 2, 6, 8), (2, 4, 18, 16)])
+    def test_interpret_matches_reference(self, shape):
+        N, H, L, dh = shape
+        q = jax.random.normal(jax.random.PRNGKey(0), shape)
+        k = jax.random.normal(jax.random.PRNGKey(1), shape)
+        v = jax.random.normal(jax.random.PRNGKey(2), shape)
+        mask = jnp.ones((N, L)).at[:, -2:].set(0.0)
+        ref = mha_reference(q, k, v, mask)
+        got = fused_attention(q, k, v, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)

@@ -1,0 +1,97 @@
+"""Sampler tests: scan refinement vs explicit python loop, decode protocol,
+restore-at-t batching, ancestral sampler."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu import sample as sp
+from diffusion_image_captioning_tpu import schedules
+from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+from tests.tiny import TINY
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    return init_denoiser(TINY, jax.random.PRNGKey(0))
+
+
+class TestRefine:
+    def test_scan_equals_python_loop(self, model_and_params):
+        """The lax.scan must reproduce the reference's per-step feedback loop
+        (CLIP-DDPM.py:616-617) exactly."""
+        model, params = model_and_params
+        B = 2
+        x0 = jax.random.normal(jax.random.PRNGKey(3), (B, TINY.max_length, TINY.dim))
+        clip = jax.random.normal(jax.random.PRNGKey(4), (B, TINY.clip_dim))
+
+        logits, x_final, _ = sp.refine(model, TINY, params, x0, clip, steps=3)
+
+        # hand loop
+        img = clip[:, None, :]
+        txt = jnp.zeros_like(img)
+        mask = jnp.ones((B, TINY.max_length))
+        cmask = jnp.tile(jnp.asarray([1.0, 0.0]), (B, 1))
+        x = x0
+        for _ in range(3):
+            out = model.apply({"params": params}, x, img, txt, mask, cmask)
+            x = out.hidden[:, : TINY.max_length]
+        np.testing.assert_allclose(np.asarray(x_final), np.asarray(x), atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(out.logits), atol=1e-3
+        )
+
+    def test_collect_logits(self, model_and_params):
+        model, params = model_and_params
+        x0 = jax.random.normal(jax.random.PRNGKey(3), (2, TINY.max_length, TINY.dim))
+        logits, _, seq = sp.refine(
+            model, TINY, params, x0, None, steps=3, collect_logits=True
+        )
+        assert seq.shape == (3, 2, TINY.max_length, TINY.vocab_size)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(seq[-1]), atol=1e-6)
+
+    def test_sample_captions_shapes(self, model_and_params):
+        model, params = model_and_params
+        clip = jax.random.normal(jax.random.PRNGKey(5), (3, TINY.clip_dim))
+        logits, x = sp.sample_captions(
+            model, TINY, params, clip, jax.random.PRNGKey(0), steps=2
+        )
+        assert logits.shape == (3, TINY.max_length, TINY.vocab_size)
+        assert x.shape == (3, TINY.max_length, TINY.dim)
+
+
+class TestRestoreAtT:
+    def test_batched_probe(self, model_and_params):
+        model, params = model_and_params
+        abar = schedules.alpha_cumprod_table(TINY)
+        x0 = jax.random.normal(jax.random.PRNGKey(1), (1, TINY.max_length, TINY.dim))
+        t = jnp.asarray([1, 50, 99], jnp.int32)
+        clip = jax.random.normal(jax.random.PRNGKey(2), (1, TINY.clip_dim))
+        mask = jnp.ones((1, TINY.max_length))
+        logits = sp.restore_at_t(
+            model, TINY, params, abar, x0, t, clip, mask, jax.random.PRNGKey(3)
+        )
+        assert logits.shape == (3, TINY.max_length, TINY.vocab_size)
+
+
+class TestAncestral:
+    def test_runs_and_finite(self, model_and_params):
+        model, params = model_and_params
+        tables = schedules.posterior_tables(TINY)
+        clip = jax.random.normal(jax.random.PRNGKey(6), (2, TINY.clip_dim))
+        logits, x = sp.ancestral_sample(
+            model, TINY, params, tables, clip, jax.random.PRNGKey(0), steps=5
+        )
+        assert logits.shape == (2, TINY.max_length, TINY.vocab_size)
+        assert np.all(np.isfinite(np.asarray(x)))
+
+
+class TestDecode:
+    def test_unique_consecutive(self):
+        logits = np.zeros((1, 6, 4), np.float32)
+        # argmax sequence: 1 1 2 2 1 3 -> dedup 1 2 1 3
+        for pos, tok in enumerate([1, 1, 2, 2, 1, 3]):
+            logits[0, pos, tok] = 5.0
+        out = sp.greedy_decode_ids(logits)
+        np.testing.assert_array_equal(out[0], [1, 2, 1, 3])
