@@ -31,18 +31,19 @@ def parse_epoch_lines(path: str) -> list[dict]:
     rows = []
     with open(path, encoding="utf-8") as f:
         for line in f:
-            if line.startswith("epoch ") and "average" in line:
-                vals = extract_floats(line)
-                if len(vals) >= 7:
+            if line.startswith("epoch ") and "average" in line and ":" in line:
+                head, _, tail = line.partition(":")
+                vals = extract_floats(tail)  # loss-name digits live in head
+                if len(vals) >= 6:
                     rows.append(
                         {
-                            "epoch": int(vals[0]),
-                            "train_x_t": vals[1],
-                            "train_x_1": vals[2],
-                            "train_prob": vals[3],
-                            "val_x_t": vals[4],
-                            "val_x_1": vals[5],
-                            "val_prob": vals[6],
+                            "epoch": int(extract_floats(head)[0]),
+                            "train_x_t": vals[0],
+                            "train_x_1": vals[1],
+                            "train_prob": vals[2],
+                            "val_x_t": vals[3],
+                            "val_x_1": vals[4],
+                            "val_prob": vals[5],
                         }
                     )
     return rows

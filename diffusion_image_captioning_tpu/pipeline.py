@@ -1,0 +1,231 @@
+"""End-to-end pipelines: the orchestration the reference performs inline in
+its scripts (CLIP-DDPM.py top-to-bottom flow, lm-trial/main.py), as library
+functions consumed by the thin CLIs in scripts/.
+
+Flow parity (CLIP-DDPM.py):
+    data -> split (or CONTINUE_TRAIN restore) -> model -> fit (epoch loop,
+    early stop, log lines) -> qualitative demos (multi-step inference,
+    t-effectiveness) -> val-split BLEU-4 -> final artifacts (checkpoint +
+    val-split save).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_image_captioning_tpu import checkpoint as ck
+from diffusion_image_captioning_tpu import eval_bleu, sample, schedules
+from diffusion_image_captioning_tpu import train as tr
+from diffusion_image_captioning_tpu.config import Config, model_name
+from diffusion_image_captioning_tpu.data import Batcher, split_indices
+from diffusion_image_captioning_tpu.data import flickr as flickr_data
+from diffusion_image_captioning_tpu.data import textonly
+from diffusion_image_captioning_tpu.data.tokenizers import (
+    DictTokenizer,
+    WordPieceTokenizer,
+    build_caption_vocab,
+    build_wordpiece_vocab,
+)
+from diffusion_image_captioning_tpu.logging_utils import Summary
+from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+from diffusion_image_captioning_tpu.models.hf_convert import load_pretrained_embedding
+
+
+def build_tokenizer(cfg: Config, captions: list[str], assets_dir: Optional[str]):
+    """TRAIN_EMBEDDING -> caption-frequency DictTokenizer (CLIP-DDPM.py:
+    132-165); otherwise WordPiece from a vocab.txt under assets_dir (the HF
+    DistilBERT vocab when available, CLIP-DDPM.py:205) or a corpus-built
+    subword vocab as the hermetic fallback."""
+    if cfg.train_embedding:
+        return DictTokenizer(build_caption_vocab(captions))
+    vocab_path = assets_dir and os.path.join(assets_dir, "vocab.txt")
+    if vocab_path and os.path.exists(vocab_path):
+        return WordPieceTokenizer.from_file(vocab_path)
+    return WordPieceTokenizer(build_wordpiece_vocab(captions, vocab_size=cfg.vocab_size))
+
+
+def write_demos(
+    summary,
+    model,
+    cfg: Config,
+    params,
+    val_columns: dict,
+    val_indices: np.ndarray,
+    tokenizer,
+    seed: int = 0,
+):
+    """Qualitative demos appended to the run log (CLIP-DDPM.py:575-602):
+    (a) 10-step refinement from x_999 of a val caption, decoding each step;
+    (b) single-shot restoration at t = 1, 101, ..., 901."""
+    abar = schedules.alpha_cumprod_table(cfg)
+    i = int(val_indices[0])
+    text = val_columns["caption"][i] if "caption" in val_columns else val_columns["text"][i]
+    summary.write(f"origin text: {text}\n")
+    summary.write("t = 999\n")
+
+    ids = jnp.asarray(val_columns["input_ids"][i : i + 1])
+    mask = jnp.asarray(val_columns["attention_mask"][i : i + 1], jnp.float32)
+    clip = (
+        jnp.asarray(val_columns["image_clip"][i : i + 1])
+        if "image_clip" in val_columns
+        else jnp.zeros((1, cfg.clip_dim), jnp.float32)
+    )
+    x0 = model.apply({"params": params}, ids, method="embed")
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    from diffusion_image_captioning_tpu.diffusion import q_sample
+
+    t_hi = jnp.asarray([cfg.step_tot - 1], jnp.int32)
+    x_t = q_sample(abar, x0, t_hi, k1, shared_noise=False)
+
+    _, _, logits_seq = sample.refine(
+        model, cfg, params, x_t, clip,
+        steps=cfg.refine_steps_demo, collect_logits=True,
+    )
+    for step_logits in np.asarray(logits_seq):
+        # demo decode is a plain argmax, no dedup (CLIP-DDPM.py:594)
+        dec = tokenizer.decode(step_logits.argmax(-1)[0])
+        summary.write(f"inferred: {dec}\n")
+
+    summary.write("text t effectiveness\n")
+    probes = jnp.arange(1, cfg.step_tot, 100, dtype=jnp.int32)
+    logits = sample.restore_at_t(
+        model, cfg, params, abar, x0, probes, clip, mask, k2
+    )
+    for t_val, row_logits in zip(np.asarray(probes), np.asarray(logits)):
+        dec = tokenizer.decode(row_logits.argmax(-1))
+        summary.write(f"t: {int(t_val)} restore: {dec}\n")
+    summary.flush()
+
+
+def run_val_bleu(
+    summary,
+    model,
+    cfg: Config,
+    params,
+    val_batcher,
+    tokenizer,
+    gt_table: dict,
+    seed: int = 0,
+) -> float:
+    """Val-split BLEU-4 loop (CLIP-DDPM.py:604-631): 5-step sampling from
+    noise, dedup-decode, all GT captions per image as references, per-batch
+    corpus BLEU averaged over batches."""
+    key = jax.random.PRNGKey(seed)
+    acc = 0.0
+    n = 0
+    for batch in val_batcher:
+        key, k = jax.random.split(key)
+        clip = jnp.asarray(batch["image_clip"])
+        logits, _ = sample.sample_captions(
+            model, cfg, params, clip, k, steps=cfg.refine_steps_eval
+        )
+        cands = [
+            tokenizer.decode(row) for row in sample.greedy_decode_ids(np.asarray(logits))
+        ]
+        refs = [gt_table[img] for img in batch["image"]]
+        acc += eval_bleu.flickr_batch_bleu(cands, refs)
+        n += 1
+        if cfg.debug:
+            break
+    score = acc / max(n, 1)
+    summary.write(f"BLEU-4 score: {score}")
+    summary.flush()
+    return score
+
+
+def run_flickr_training(
+    cfg: Config,
+    flickr8k_dir: Optional[str],
+    flickr30k_dir: Optional[str],
+    out_dir: str = ".",
+    assets_dir: Optional[str] = None,
+    seed: int = 0,
+):
+    """The full CLIP-DDPM.py program. Returns (state, history, bleu)."""
+    name = model_name(cfg)
+    imgs, caps, img_feat, txt_feat = flickr_data.load_combined(
+        flickr8k_dir, flickr30k_dir
+    )
+    tokenizer = build_tokenizer(cfg, caps, assets_dir)
+    columns = flickr_data.make_flickr_dataset(
+        imgs, caps, img_feat, txt_feat, tokenizer, cfg.max_length
+    )
+    n = len(caps)
+
+    if cfg.continue_train:
+        val_idx = ck.load_val_indices(name, out_dir)
+        train_idx = np.setdiff1d(np.arange(n), val_idx)
+    else:
+        train_idx, val_idx = split_indices(n, cfg.train_set_ratio, seed)
+
+    train_b = Batcher(columns, train_idx, cfg.batch_size, shuffle=True, seed=seed)
+    val_b = Batcher(columns, val_idx, cfg.batch_size, shuffle=False)
+
+    model, params = init_denoiser(cfg, jax.random.PRNGKey(seed))
+    params, loaded = load_pretrained_embedding(
+        params, assets_dir and os.path.join(assets_dir, "distilbert-base-uncased-local")
+    )
+    tx = tr.make_optimizer(cfg)
+    state = tr.init_train_state(cfg, params, tx)
+    if cfg.continue_train:
+        state = ck.restore_params_only(name, out_dir, state)
+
+    summary = Summary(cfg, out_dir)
+
+    def checkpoint_fn(s, tag):
+        ck.save(s, cfg, name, out_dir, val_indices=val_idx)
+
+    state, history = tr.fit(
+        model, cfg, state, train_b, val_b,
+        seed=seed, summary=summary, checkpoint_fn=checkpoint_fn,
+    )
+
+    params = tr.merge_params(state.trainable, state.frozen)
+    write_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
+    gt = flickr_data.captions_by_image(imgs, caps)
+    bleu = run_val_bleu(summary, model, cfg, params, val_b, tokenizer, gt, seed)
+    ck.save_val_indices(name, out_dir, val_idx)
+    summary.close()
+    return state, history, bleu
+
+
+def run_lm_trial(
+    cfg: Config,
+    train_csv: str,
+    out_dir: str = ".",
+    seed: int = 0,
+):
+    """The lm-trial precursor (lm-trial/main.py): text-only training on a
+    CSV, final checkpoint. Returns (state, history)."""
+    texts = textonly.read_text_column(train_csv)
+    columns, tokenizer = textonly.make_text_dataset(
+        texts, cfg.max_length, vocab_size=cfg.vocab_size
+    )
+    # lm-trial trains on everything and has no val loop; we reuse a small
+    # held-out slice for the early-stop signal (additive improvement).
+    n = len(texts)
+    train_idx, val_idx = split_indices(n, 0.95, seed)
+    train_b = Batcher(columns, train_idx, cfg.batch_size, shuffle=True, seed=seed)
+    val_b = Batcher(columns, val_idx, cfg.batch_size, shuffle=False)
+
+    cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
+    model, params = init_denoiser(cfg, jax.random.PRNGKey(seed))
+    tx = tr.make_optimizer(cfg)
+    state = tr.init_train_state(cfg, params, tx)
+
+    summary = Summary(cfg, out_dir)
+    name = model_name(cfg)
+    state, history = tr.fit(
+        model, cfg, state, train_b, val_b,
+        seed=seed, summary=summary,
+        checkpoint_fn=lambda s, tag: ck.save(s, cfg, name, out_dir),
+    )
+    summary.close()
+    return state, history, tokenizer

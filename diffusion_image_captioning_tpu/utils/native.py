@@ -1,0 +1,119 @@
+"""Loader for the native (C++) host-side components.
+
+Builds native/wordpiece.cpp into a shared object on first use (g++ -O3) and
+exposes it via ctypes. Every entry point has a pure-Python fallback — the
+native path is a performance optimization of identical behavior, enforced by
+parity tests (tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO, "native", "wordpiece.cpp")
+_SO = os.path.join(_REPO, "native", "libwordpiece.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """The shared library, building it if needed; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not os.path.exists(_SRC) or not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_SO)
+        lib.wp_create.restype = ctypes.c_void_p
+        lib.wp_create.argtypes = [ctypes.c_char_p]
+        lib.wp_free.argtypes = [ctypes.c_void_p]
+        lib.wp_encode_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _lib = lib
+        return _lib
+
+
+class NativeWordPiece:
+    """ctypes wrapper with the same encode contract as
+    data.tokenizers.WordPieceTokenizer (ASCII corpora)."""
+
+    def __init__(self, vocab: dict[str, int]):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native wordpiece unavailable")
+        self._lib = lib
+        size = max(vocab.values()) + 1
+        rows = [""] * size
+        for tok, i in vocab.items():
+            rows[i] = tok
+        blob = "\n".join(rows).encode("utf-8")
+        self._handle = lib.wp_create(blob)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.wp_free(self._handle)
+        except Exception:
+            pass
+
+    def encode_batch(self, texts: list[str], max_length: int):
+        n = len(texts)
+        ids = np.empty((n, max_length), np.int32)
+        mask = np.empty((n, max_length), np.int32)
+        arr = (ctypes.c_char_p * n)(*[t.encode("utf-8") for t in texts])
+        self._lib.wp_encode_batch(
+            self._handle,
+            arr,
+            n,
+            max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return ids, mask
+
+
+def encode_batch(tokenizer, texts: list[str], max_length: int):
+    """Batch-encode with the native engine when possible, else the Python
+    tokenizer. ``tokenizer`` is a data.tokenizers.WordPieceTokenizer."""
+    try:
+        native = NativeWordPiece(tokenizer.vocab)
+        return native.encode_batch(texts, max_length)
+    except Exception:
+        n = len(texts)
+        ids = np.zeros((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        for i, t in enumerate(texts):
+            ids[i], mask[i] = tokenizer.encode(t, max_length)
+        return ids, mask

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Zero-shot COCO BLEU-4 evaluator — the COCO_BLEU.py program as a command,
+with batched ON-DEVICE CLIP image encoding replacing the reference's
+per-item host CLIP calls (COCO_BLEU.py:217-226).
+
+    python scripts/coco_bleu.py CKPT_NAME --coco_root ./coco_2014_caption/val2014 \
+        --ann_file ./coco_2014_caption/val2014_caption.json --assets_dir ./assets
+
+The positional argument is the run name; like the reference (:237) it must
+match the checkpoint's config codec name.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("ckpt_name")
+    p.add_argument("--ckpt_dir", default=".")
+    p.add_argument("--coco_root", required=True)
+    p.add_argument("--ann_file", required=True)
+    p.add_argument("--assets_dir", default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--limit", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_image_captioning_tpu import checkpoint as ck
+    from diffusion_image_captioning_tpu import eval_bleu, sample
+    from diffusion_image_captioning_tpu import train as tr
+    from diffusion_image_captioning_tpu.config import model_name
+    from diffusion_image_captioning_tpu.data import coco
+    from diffusion_image_captioning_tpu.models.clip import (
+        CLIPVisionEncoder,
+        preprocess_images,
+    )
+    from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+    from diffusion_image_captioning_tpu.models.hf_convert import convert_clip_vision
+    from diffusion_image_captioning_tpu.pipeline import build_tokenizer
+
+    state, cfg, _ = ck.restore(args.ckpt_name, args.ckpt_dir)
+    # checkpoint-name guard (COCO_BLEU.py:237)
+    assert args.ckpt_name == model_name(cfg), (
+        f"checkpoint name {args.ckpt_name!r} != config codec {model_name(cfg)!r}"
+    )
+    model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
+    params = tr.merge_params(state.trainable, state.frozen)
+    tokenizer = build_tokenizer(cfg, [], args.assets_dir)
+
+    clip_enc = CLIPVisionEncoder()
+    clip_params = clip_enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )["params"]
+    clip_dir = args.assets_dir and os.path.join(
+        args.assets_dir, "openai", "clip-vit-base-patch32-local"
+    )
+    if clip_dir and os.path.isdir(clip_dir):
+        from diffusion_image_captioning_tpu.models.hf_convert import apply_flat_updates
+
+        clip_params = apply_flat_updates(clip_params, convert_clip_vision(clip_dir))
+
+    @jax.jit
+    def encode(pixels_u8):
+        return clip_enc.apply({"params": clip_params}, preprocess_images(pixels_u8))
+
+    key = jax.random.PRNGKey(args.seed)
+    acc, n_images = 0.0, 0
+    for batch in coco.iter_coco_batches(
+        args.coco_root, args.ann_file, args.batch_size, limit=args.limit
+    ):
+        feats = encode(jnp.asarray(batch["pixels"]))
+        key, k = jax.random.split(key)
+        logits, _ = sample.sample_captions(
+            model, cfg, params, feats, k, steps=cfg.refine_steps_eval
+        )
+        for row, caps in zip(
+            sample.greedy_decode_ids(np.asarray(logits)), batch["captions"]
+        ):
+            cand = eval_bleu.coco_candidate_tokens(
+                tokenizer.decode(row), cfg.max_length
+            )
+            refs = eval_bleu.coco_reference_tokens(caps, cfg.max_length)
+            acc += eval_bleu.bleu_corpus([cand], [refs])
+            n_images += 1
+
+    print(acc / max(n_images, 1))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Text-only diffusion LM CLI — the lm-trial precursor (lm-trial/main.py)
+as a command. Runs on any CSV with a 'text' column; defaults to the "Don't
+Patronize Me" train split bundled with the reference when mounted.
+
+    python scripts/lm_trial.py --train_csv /root/reference/lm-trial/train.csv
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--train_csv", default="/root/reference/lm-trial/train.csv"
+    )
+    p.add_argument("--out_dir", default=".")
+    p.add_argument("--epoch_num", type=int, default=None)
+    p.add_argument("--max_length", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--vocab_size", type=int, default=8000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from diffusion_image_captioning_tpu.config import LM_TRIAL
+    from diffusion_image_captioning_tpu.pipeline import run_lm_trial
+
+    cfg = LM_TRIAL.replace(vocab_size=args.vocab_size)
+    for name in ("epoch_num", "max_length", "batch_size"):
+        if getattr(args, name) is not None:
+            cfg = cfg.replace(**{name: getattr(args, name)})
+
+    _, history, _ = run_lm_trial(cfg, args.train_csv, args.out_dir, seed=args.seed)
+    last = history[-1]
+    print(
+        f"epoch {last['epoch']} losses: x_t={last['train_x_t']:.4f} "
+        f"x_1={last['train_x_1']:.4f} prob={last['train_prob']:.4f}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Flagship training CLI — the CLIP-DDPM.py program as a command.
+
+The reference is configured by editing module constants; here every knob is
+a --flag named after its Config field, with the reference defaults
+(CLIP-DDPM.py:55-115). Example:
+
+    python scripts/train_clip_ddpm.py --flickr8k_dir ./flickr8k \
+        --epoch_num 15 --rounding_weight 0.3 --train_set_ratio 0.95 \
+        --early_stop_ratio 1.02 --out_dir runs/
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from diffusion_image_captioning_tpu.config import Config  # noqa: E402
+
+
+def add_config_flags(p: argparse.ArgumentParser) -> None:
+    for f in dataclasses.fields(Config):
+        if f.type in ("bool", bool):
+            p.add_argument(
+                f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=f.default,
+            )
+        elif f.type in ("int", int):
+            p.add_argument(f"--{f.name}", type=int, default=f.default)
+        elif f.type in ("float", float):
+            p.add_argument(f"--{f.name}", type=float, default=f.default)
+        else:
+            p.add_argument(f"--{f.name}", type=str, default=f.default)
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    names = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in names})
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--flickr8k_dir", default=None)
+    p.add_argument("--flickr30k_dir", default=None)
+    p.add_argument("--assets_dir", default=None, help="dir with vocab.txt / HF saves")
+    p.add_argument("--out_dir", default=".")
+    p.add_argument("--seed", type=int, default=0)
+    add_config_flags(p)
+    args = p.parse_args()
+    cfg = config_from_args(args)
+
+    from diffusion_image_captioning_tpu.pipeline import run_flickr_training
+
+    _, history, bleu = run_flickr_training(
+        cfg, args.flickr8k_dir, args.flickr30k_dir,
+        out_dir=args.out_dir, assets_dir=args.assets_dir, seed=args.seed,
+    )
+    print(f"final BLEU-4: {bleu}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Native/Python parity tests for the C++ WordPiece batch encoder."""
+
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu.data.tokenizers import (
+    WordPieceTokenizer,
+    build_wordpiece_vocab,
+)
+from diffusion_image_captioning_tpu.utils import native
+
+
+@pytest.fixture(scope="module")
+def tok():
+    texts = [
+        "A man riding a horse.",
+        "two dogs running on grass!",
+        "the quick brown fox jumps over the lazy dog",
+        "children playing soccer in a park",
+    ]
+    return WordPieceTokenizer(build_wordpiece_vocab(texts, vocab_size=400)), texts
+
+
+def test_native_builds(tok):
+    if native.load() is None:
+        pytest.skip("g++ unavailable")
+
+
+def test_parity_with_python(tok):
+    t, texts = tok
+    if native.load() is None:
+        pytest.skip("g++ unavailable")
+    nat = native.NativeWordPiece(t.vocab)
+    more = texts + ["UNSEEN wordform zzzqqq", "punct,separated.words", ""]
+    ids_n, mask_n = nat.encode_batch(more, 16)
+    for i, s in enumerate(more):
+        ids_p, mask_p = t.encode(s, 16)
+        np.testing.assert_array_equal(ids_n[i], ids_p, err_msg=f"ids for {s!r}")
+        np.testing.assert_array_equal(mask_n[i], mask_p, err_msg=f"mask for {s!r}")
+
+
+def test_encode_batch_fallback_path(tok):
+    t, texts = tok
+    ids, mask = native.encode_batch(t, texts, 12)
+    assert ids.shape == (4, 12)
+    ids0, mask0 = t.encode(texts[0], 12)
+    np.testing.assert_array_equal(ids[0], ids0)
