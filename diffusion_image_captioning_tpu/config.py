@@ -126,6 +126,10 @@ class Config:
     use_pallas_attention: bool = True  # fused attention kernel on TPU
     use_fused_rounding_loss: bool = True  # streamed vocab-CE kernel on TPU
     remat_denoiser: bool = False       # jax.checkpoint over encoder blocks
+    fast_dropout_rng: bool = True      # rbg PRNG for dropout masks: the
+    # threefry default costs ~25% of a train step at this model's size
+    # (measured on v5e); rbg is hardware-accelerated. Streams differ from
+    # threefry but dropout only needs iid bits.
 
     # --- TPU: parallelism (new capability; SURVEY.md section 2.14) ---
     mesh_data: int = 1                # data-parallel axis size

@@ -87,6 +87,14 @@ def gathered_log_prob(logits: jnp.ndarray, idx: jnp.ndarray, *, stable: bool = T
     return jnp.log(p)
 
 
+def reduce_rounding(lp: jnp.ndarray, cfg: Config) -> jnp.ndarray:
+    """Reduce per-token log-probs [N, L] to the rounding-loss scalar using
+    the style paired with the active distance (CLIP-DDPM.py:434-440)."""
+    if cfg.loss_func in _MEAN_STYLE:
+        return -lp.sum(axis=1).mean()
+    return -lp.sum() / cfg.batch_size
+
+
 def rounding_loss(
     logits: jnp.ndarray,
     idx: jnp.ndarray,
@@ -105,9 +113,7 @@ def rounding_loss(
     lp = (log_prob_fn or partial(gathered_log_prob, stable=cfg.stable_rounding_loss))(
         logits, idx
     )
-    if cfg.loss_func in _MEAN_STYLE:
-        return -lp.sum(axis=1).mean()
-    return -lp.sum() / cfg.batch_size
+    return reduce_rounding(lp, cfg)
 
 
 def max_prob_rounding_loss(logits: jnp.ndarray) -> jnp.ndarray:

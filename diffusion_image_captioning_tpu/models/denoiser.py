@@ -104,11 +104,18 @@ class CLIPDiffusionLM(nn.Module):
         return jnp.take(self.embedding_table, input_ids, axis=0)
 
     def decode_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
-        """Vocab logits from (projected) hidden states; fp32 for the loss."""
-        h = hidden.astype(jnp.float32)
+        """Vocab logits from (projected) hidden states. The contraction runs
+        in the compute dtype (full-rate MXU under bf16) with fp32
+        accumulation and output — the loss math downstream stays fp32."""
         if self.logits_fn is not None:
-            return self.logits_fn(h, self.lm_head_kernel)
-        return h @ self.lm_head_kernel
+            return self.logits_fn(hidden.astype(jnp.float32), self.lm_head_kernel)
+        dt = jnp.dtype(self.cfg.compute_dtype)
+        return jax.lax.dot_general(
+            hidden.astype(dt),
+            self.lm_head_kernel.astype(dt),
+            (((hidden.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     def __call__(
         self,
@@ -182,6 +189,10 @@ def init_denoiser(
     logits_fn: Optional[Callable] = None,
 ) -> tuple[CLIPDiffusionLM, FrozenDict[str, Any]]:
     """Build module + initialize params with dummy static-shape inputs."""
+    if attention_fn is None and cfg.use_pallas_attention:
+        from diffusion_image_captioning_tpu.ops.attention import make_attention_fn
+
+        attention_fn = make_attention_fn()  # None off-TPU -> XLA reference
     model = CLIPDiffusionLM(cfg=cfg, attention_fn=attention_fn, logits_fn=logits_fn)
     N = 2
     x = jnp.zeros((N, cfg.max_length, cfg.in_channel), jnp.float32)

@@ -81,10 +81,10 @@ class MultiHeadSelfAttention(nn.Module):
             attn_drop = lambda w: layer(w)  # noqa: E731
 
         fn = self.attention_fn
-        if fn is None or attn_drop is not None:
-            # The fused kernel has no attention-dropout path; training with
-            # dropout uses the XLA route (dropout rate 0.1 only matters at
-            # train time; sampling/eval takes the kernel).
+        if fn is None or not deterministic:
+            # The fused kernel defines no VJP and no attention-dropout path:
+            # training (any grad context) uses the XLA route; deterministic
+            # eval/sampling takes the kernel.
             out = mha_reference(q, k, v, mask, dropout_fn=attn_drop)
         else:
             out = fn(q, k, v, mask)

@@ -40,10 +40,23 @@ def _pad_vocab(kernel: jnp.ndarray, tile: int):
     return kernel, V, pad
 
 
-def _xla_chunked_fwd(h, kernel, idx, tile):
+def _dot_f32(a, b, dims, dtype):
+    """MXU matmul: inputs cast to ``dtype`` (bf16 = full-rate MXU), fp32
+    accumulation and output."""
+    return jax.lax.dot_general(
+        a.astype(dtype), b.astype(dtype), dims,
+        preferred_element_type=jnp.float32,
+    )
+
+
+_NT = (((1,), (1,)), ((), ()))  # a [M,C] x b [N,C] -> [M,N]
+_NN = (((1,), (0,)), ((), ()))  # a [M,C] x b [C,N] -> [M,N]
+
+
+def _xla_chunked_fwd(h, kernel, idx, tile, dtype=jnp.bfloat16):
     """Online logsumexp + target gather over vocab tiles.
 
-    h [M, C] fp32; kernel [C, V]; idx [M] int32.
+    h [M, C]; kernel [C, V]; idx [M] int32.
     Returns (logp [M], lse [M]).
     """
     kernel_p, true_v, _ = _pad_vocab(kernel, tile)
@@ -54,7 +67,7 @@ def _xla_chunked_fwd(h, kernel, idx, tile):
     def body(carry, inputs):
         m, s, tgt = carry
         k_tile, t_i = inputs
-        z = h @ k_tile.T  # [M, tile]
+        z = _dot_f32(h, k_tile, _NT, dtype)  # [M, tile]
         base = t_i * tile
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
         # padding columns must not contribute to the lse
@@ -80,7 +93,7 @@ def _xla_chunked_fwd(h, kernel, idx, tile):
     return tgt - lse, lse
 
 
-def _xla_chunked_bwd(h, kernel, idx, lse, g, tile):
+def _xla_chunked_bwd(h, kernel, idx, lse, g, tile, dtype=jnp.bfloat16):
     """dh = g*(W[:,idx].T - softmax @ W.T); dW = h.T @ (g*(onehot - softmax)).
 
     Recomputes logits per tile; accumulates dh [M,C] and dW tiles.
@@ -93,14 +106,14 @@ def _xla_chunked_bwd(h, kernel, idx, lse, g, tile):
 
     def body(dh, inputs):
         k_tile, t_i = inputs
-        z = h @ k_tile.T  # [M, tile]
+        z = _dot_f32(h, k_tile, _NT, dtype)  # [M, tile]
         base = t_i * tile
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
         p = jnp.where(col < true_v, jnp.exp(z - lse[:, None]), 0.0)
         onehot = (col == idx[:, None]).astype(jnp.float32)
         dz = g[:, None] * (onehot - p)  # [M, tile]
-        dh = dh + dz @ k_tile  # [M, C]
-        dw_tile = dz.T @ h  # [tile, C]
+        dh = dh + _dot_f32(dz, k_tile, _NN, dtype)  # [M, C]
+        dw_tile = _dot_f32(dz.T, h, _NN, dtype)  # [tile, C]
         return dh, dw_tile
 
     dh, dw_tiles = jax.lax.scan(
@@ -112,30 +125,48 @@ def _xla_chunked_bwd(h, kernel, idx, lse, g, tile):
     return dh, dW
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_logprob(h, kernel, idx, tile: int = _TILE_V):
+def _on_tpu() -> bool:
+    import jax as _jax
+
+    return any(d.platform in ("tpu", "axon") for d in _jax.devices())
+
+
+def _forward(h, kernel, idx, tile, backend, dtype):
+    if backend == "pallas" or (backend == "auto" and _on_tpu()):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import pallas_logprob
+
+        return pallas_logprob(h, kernel, idx, tile_v=tile, dtype=dtype)
+    return _xla_chunked_fwd(h, kernel, idx, tile, dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_logprob(
+    h, kernel, idx,
+    tile: int = _TILE_V,
+    backend: str = "auto",
+    matmul_dtype: str = "float32",
+):
     """logp [M] of tokens idx under logits h @ kernel, never materializing
-    [M, V]. Differentiable in h and kernel."""
-    logp, _ = _xla_chunked_fwd(h, kernel, idx, tile)
+    [M, V]. Differentiable in h and kernel.
+
+    backend: "auto" (Pallas kernel on TPU, chunked XLA elsewhere), "xla",
+    or "pallas". matmul_dtype: dtype the MXU contractions run in (fp32
+    accumulation either way) — "bfloat16" doubles-to-octuples TPU matmul
+    rate at ~3 decimal digits of logit precision; default fp32 is exact.
+    """
+    logp, _ = _forward(h, kernel, idx, tile, backend, jnp.dtype(matmul_dtype))
     return logp
 
 
-def _flp_fwd(h, kernel, idx, tile):
-    logp, lse = _xla_chunked_fwd(h, kernel, idx, tile)
+def _flp_fwd(h, kernel, idx, tile, backend, matmul_dtype):
+    logp, lse = _forward(h, kernel, idx, tile, backend, jnp.dtype(matmul_dtype))
     return logp, (h, kernel, idx, lse)
 
 
-def _flp_bwd(tile, res, g):
+def _flp_bwd(tile, backend, matmul_dtype, res, g):
     h, kernel, idx, lse = res
-    dh, dW = _xla_chunked_bwd(h, kernel, idx, lse, g, tile)
+    dh, dW = _xla_chunked_bwd(h, kernel, idx, lse, g, tile, jnp.dtype(matmul_dtype))
     return dh, dW, None
 
 
 fused_logprob.defvjp(_flp_fwd, _flp_bwd)
-
-
-def fused_gathered_log_prob(logits_unused, idx):  # pragma: no cover
-    raise NotImplementedError(
-        "fused_logprob operates on (hidden, kernel); wire it through "
-        "CLIPDiffusionLM.logits_fn / losses.rounding_loss(log_prob_fn=...)"
-    )

@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: streamed gathered-log-softmax forward.
+
+Computes logp[m] = z[m, idx[m]] - logsumexp_v z[m, v] with z = h @ W,
+never materializing z. Grid = (M tiles, V tiles) with the vocab as the
+minormost (sequential) dimension; per-row online max/sum accumulators live
+in VMEM scratch across the vocab sweep (flash-attention-style reduction,
+applied to the vocab classifier). The [TM, C] activation block stays
+resident while W streams through VMEM, so HBM traffic is
+|h| + |W| + |out| — the speed-of-light minimum for this contraction.
+
+Used as the forward of ops.rounding.fused_logprob on TPU; the backward
+reuses the XLA-chunked recompute path (same memory bound, MXU-dominated).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _kernel(
+    idx_ref, h_ref, w_ref, out_ref, lse_ref, m_acc, s_acc, t_acc,
+    *, true_v, tile_v, dtype
+):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_acc[:] = jnp.full_like(m_acc, -jnp.inf)
+        s_acc[:] = jnp.zeros_like(s_acc)
+        t_acc[:] = jnp.zeros_like(t_acc)
+
+    h = h_ref[:]  # [TM, C] already in the matmul dtype (cast by the caller)
+    w = w_ref[:]  # [C, TV]
+    z = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TM, TV] fp32 accumulation
+    base = j * tile_v
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + base
+    z = jnp.where(col < true_v, z, -jnp.inf)
+
+    m_prev = m_acc[:, 0]  # [TM]
+    zmax = z.max(axis=-1)
+    m_new = jnp.maximum(m_prev, zmax)
+    # exp(-inf - -inf) guard: where m_new is still -inf nothing accumulated
+    scale = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_new), 0.0)
+    s_new = s_acc[:, 0] * scale + jnp.where(
+        jnp.isfinite(z), jnp.exp(z - m_new[:, None]), 0.0
+    ).sum(axis=-1)
+    m_acc[:, 0] = m_new
+    s_acc[:, 0] = s_new
+
+    idx = idx_ref[:, 0]  # [TM] int32 (kept 2-D in VMEM for layout, see caller)
+    hit = col == idx[:, None]
+    t_here = jnp.where(hit, z, 0.0).sum(axis=-1)
+    t_acc[:, 0] = t_acc[:, 0] + t_here
+
+    @pl.when(j == nj - 1)
+    def _():
+        lse = m_acc[:, 0] + jnp.log(s_acc[:, 0])
+        out_ref[:, 0] = t_acc[:, 0] - lse
+        lse_ref[:, 0] = lse
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_m", "tile_v", "interpret", "dtype")
+)
+def pallas_logprob(
+    h: jnp.ndarray,        # [M, C] (any float dtype; accumulated fp32)
+    kernel: jnp.ndarray,   # [C, V]
+    idx: jnp.ndarray,      # [M] int32
+    *,
+    tile_m: int = 256,
+    tile_v: int = 1024,
+    interpret: bool = False,
+    dtype=jnp.float32,     # MXU input dtype; fp32 accumulation regardless
+) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Cast in HBM so VMEM blocks (and HBM reads) shrink under bf16; the
+    # kernel's dot accumulates fp32 either way. ~16MB VMEM/core budget:
+    # w block tile_v*C*bytes x2 (double buffer) dominates.
+    h = h.astype(dtype)
+    kernel = kernel.astype(dtype)
+    M, C = h.shape
+    V = kernel.shape[1]
+    pad_m = (-M) % tile_m
+    pad_v = (-V) % tile_v
+    Mp, Vp = M + pad_m, V + pad_v
+    if pad_m:
+        h = jnp.pad(h, ((0, pad_m), (0, 0)))
+        idx = jnp.pad(idx, (0, pad_m))
+    if pad_v:
+        kernel = jnp.pad(kernel, ((0, 0), (0, pad_v)))
+    # 1-D int32 operands trip XLA/Mosaic tiling-layout mismatches; keep idx
+    # 2-D throughout.
+    idx2 = idx.reshape(Mp, 1)
+
+    grid = (Mp // tile_m, Vp // tile_v)
+    out, lse = pl.pallas_call(
+        functools.partial(_kernel, true_v=V, tile_v=tile_v, dtype=jnp.dtype(dtype)),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tile_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+            pltpu.VMEM((tile_m, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(idx2, h, kernel)
+    return out[:M, 0], lse[:M, 0]

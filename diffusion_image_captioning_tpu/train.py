@@ -59,6 +59,12 @@ def merge_params(trainable: dict, frozen: dict):
     return traverse_util.unflatten_dict({**frozen, **trainable})
 
 
+def device_batch(batch: dict) -> dict:
+    """Array-only view of a batch: host-side metadata columns (caption and
+    image-name strings riding along for decode/BLEU) must not reach jit."""
+    return {k: v for k, v in batch.items() if hasattr(v, "shape")}
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     trainable: Any
@@ -150,13 +156,32 @@ def compute_losses(
     else:
         img_in = txt_in = jnp.zeros((S * B + B, 1, cfg.clip_dim), jnp.float32)
 
-    rngs = {} if deterministic else {"dropout": drop_key}
+    # Fused rounding path: skip the [N, L, V] logits materialization and
+    # compute gathered log-softmax directly from hidden states + vocab head
+    # (ops/rounding.py) — the reference's memory peak eliminated
+    # (SURVEY.md section 3.1, CLIP-DDPM.py:434-440).
+    use_fused = (
+        cfg.use_fused_rounding_loss
+        and cfg.use_prob_loss
+        and not cfg.rounding_max_prob
+    )
+    if deterministic:
+        rngs = {}
+    else:
+        if cfg.fast_dropout_rng:
+            # rbg keys: hardware RNG for the ~100M dropout bits per step.
+            drop_key = jax.random.wrap_key_data(
+                jax.random.bits(drop_key, (4,), "uint32"), impl="rbg"
+            )
+        rngs = {"dropout": drop_key}
     out = model.apply(
         {"params": params}, xin, img_in, txt_in, mask_in, cmask,
         deterministic=deterministic, rngs=rngs,
+        return_logits=not use_fused,
     )
     hid_t, hid_1 = out.hidden[: S * B], out.hidden[S * B :]
-    log_t, log_1 = out.logits[: S * B], out.logits[S * B :]
+    if not use_fused:
+        log_t, log_1 = out.logits[: S * B], out.logits[S * B :]
 
     dist = losses.distance(cfg.loss_func)
     zero = jnp.zeros((), jnp.float32)
@@ -173,6 +198,18 @@ def compute_losses(
             # lm-trial variant: -log max softmax over the x_1 branch only
             # (lm-trial/main.py:187).
             prob = losses.max_prob_rounding_loss(log_1)
+        elif use_fused:
+            from diffusion_image_captioning_tpu.ops.rounding import fused_logprob
+
+            W = params["lm_head_kernel"]
+            ids_all = jnp.concatenate([jnp.tile(ids, (S, 1)), ids], axis=0)
+            h_all = out.hidden[:, :L].reshape(-1, out.hidden.shape[-1])
+            lp = fused_logprob(
+                h_all, W, ids_all.reshape(-1), 1024, "auto", cfg.compute_dtype
+            ).reshape(S * B + B, L)
+            prob = losses.reduce_rounding(lp[: S * B], cfg) + losses.reduce_rounding(
+                lp[S * B :], cfg
+            )
         else:
             prob = losses.rounding_loss(
                 log_t, jnp.tile(ids, (S, 1)), cfg
@@ -290,7 +327,7 @@ def fit(
         n_train = 0
         for batch in train_batches:
             key, k = jax.random.split(key)
-            state, metrics = train_step(state, batch, k, lam)
+            state, metrics = train_step(state, device_batch(batch), k, lam)
             for name in acc:
                 acc[name].append(metrics[name])
             n_train += 1
@@ -315,7 +352,7 @@ def fit(
         n_val = 0
         for batch in val_batches:
             key, k = jax.random.split(key)
-            m = eval_step(state, batch, k, lam)
+            m = eval_step(state, device_batch(batch), k, lam)
             for name in val_acc:
                 val_acc[name] += float(m[name])
             n_val += 1

@@ -1,0 +1,94 @@
+"""Tracing / profiling / memory observability (SURVEY.md section 5.1).
+
+The reference's only observability is ``mem_report()`` — CPU/GPU free-memory
+prints at four pipeline milestones (CLIP-DDPM.py:31-38,223,447,563). This
+module provides the TPU equivalents plus what the reference lacks:
+
+  * ``mem_report(tag)`` — host memory + per-device HBM stats at a milestone;
+  * ``trace(dir)`` — a jax.profiler trace context manager (view in
+    TensorBoard / xprof);
+  * ``StepTimer`` — rolling per-step wall-time stats for the train loop;
+  * ``debug_nans(on)`` — toggles jax's NaN checker (SURVEY.md section 5.2's
+    "sanitizer" equivalent), flag-gated because it forces synchronous
+    dispatch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+def mem_report(tag: str = "", printer=print) -> dict:
+    """Host + device memory snapshot, printed and returned."""
+    out: dict = {"tag": tag}
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    out["host_available_kb"] = int(line.split()[1])
+                    printer(
+                        f"[mem:{tag}] host available: "
+                        f"{out['host_available_kb'] // 1024} MB"
+                    )
+                    break
+    except OSError:
+        pass
+    for d in jax.local_devices():
+        try:
+            s = d.memory_stats()
+        except Exception:
+            s = None
+        if s:
+            used = s.get("bytes_in_use", 0)
+            limit = s.get("bytes_limit", 0)
+            peak = s.get("peak_bytes_in_use", 0)
+            out[str(d)] = {"bytes_in_use": used, "bytes_limit": limit, "peak": peak}
+            printer(
+                f"[mem:{tag}] {d}: {used / 2**20:.0f} MB used"
+                f" / {limit / 2**20:.0f} MB (peak {peak / 2**20:.0f} MB)"
+            )
+    return out
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]):
+    """jax.profiler trace context; no-op when log_dir is None."""
+    if not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling step timing: call ``tick()`` once per optimizer step."""
+
+    def __init__(self, warmup: int = 2):
+        self.warmup = warmup
+        self.count = 0
+        self.total = 0.0
+        self._last: Optional[float] = None
+
+    def tick(self) -> None:
+        now = time.perf_counter()
+        if self._last is not None:
+            self.count += 1
+            if self.count > self.warmup:
+                self.total += now - self._last
+        self._last = now
+
+    @property
+    def steps_per_sec(self) -> float:
+        timed = self.count - self.warmup
+        return timed / self.total if timed > 0 and self.total > 0 else 0.0
+
+
+def debug_nans(enable: bool = True) -> None:
+    jax.config.update("jax_debug_nans", enable)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Zero-shot captioning of a local image — the notebook's cell-24 demo as a
+CLI: CLIP-encode the image on device, refine pure noise K times, decode.
+
+    python scripts/caption_image.py photo.jpg CKPT_NAME --ckpt_dir runs/ \
+        --assets_dir ./assets --steps 10
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("image")
+    p.add_argument("ckpt_name")
+    p.add_argument("--ckpt_dir", default=".")
+    p.add_argument("--assets_dir", default=None)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_image_captioning_tpu import checkpoint as ck
+    from diffusion_image_captioning_tpu import sample
+    from diffusion_image_captioning_tpu import train as tr
+    from diffusion_image_captioning_tpu.data.coco import load_image_batch
+    from diffusion_image_captioning_tpu.models.clip import (
+        CLIPVisionEncoder,
+        preprocess_images,
+    )
+    from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+    from diffusion_image_captioning_tpu.pipeline import build_tokenizer
+
+    state, cfg, _ = ck.restore(args.ckpt_name, args.ckpt_dir)
+    model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
+    params = tr.merge_params(state.trainable, state.frozen)
+    tokenizer = build_tokenizer(cfg, [], args.assets_dir)
+
+    enc = CLIPVisionEncoder()
+    clip_params = enc.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )["params"]
+    clip_dir = args.assets_dir and os.path.join(
+        args.assets_dir, "openai", "clip-vit-base-patch32-local"
+    )
+    if clip_dir and os.path.isdir(clip_dir):
+        from diffusion_image_captioning_tpu.models.hf_convert import (
+            apply_flat_updates,
+            convert_clip_vision,
+        )
+
+        clip_params = apply_flat_updates(clip_params, convert_clip_vision(clip_dir))
+
+    pix = load_image_batch(
+        os.path.dirname(args.image) or ".", [os.path.basename(args.image)]
+    )
+    feats = enc.apply({"params": clip_params}, preprocess_images(jnp.asarray(pix)))
+    logits, _ = sample.sample_captions(
+        model, cfg, params, feats, jax.random.PRNGKey(args.seed), steps=args.steps
+    )
+    for row in sample.greedy_decode_ids(np.asarray(logits)):
+        print(tokenizer.decode(row))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,28 @@ class TestFusedLogprob:
         assert np.all(np.isfinite(np.asarray(got)))
 
 
+class TestPallasLogprob:
+    def test_interpret_matches_dense(self):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import pallas_logprob
+
+        M, C, V = 16, 8, 100
+        h = jax.random.normal(jax.random.PRNGKey(0), (M, C))
+        W = jax.random.normal(jax.random.PRNGKey(1), (C, V)) * 0.3
+        idx = jax.random.randint(jax.random.PRNGKey(2), (M,), 0, V)
+        z = h @ W
+        ref = (
+            jnp.take_along_axis(z, idx[:, None], -1)[:, 0]
+            - jax.nn.logsumexp(z, axis=-1)
+        )
+        got, lse = pallas_logprob(
+            h, W, idx, tile_m=8, tile_v=64, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(lse), np.asarray(jax.nn.logsumexp(z, axis=-1)), atol=1e-5
+        )
+
+
 class TestPallasAttention:
     @pytest.mark.parametrize("shape", [(3, 2, 6, 8), (2, 4, 18, 16)])
     def test_interpret_matches_reference(self, shape):

@@ -21,6 +21,14 @@ def setup():
     return model, params, tx, state
 
 
+def fresh_state(params, tx):
+    """A TrainState over COPIED leaves: train_step donates its input state,
+    so tests must never feed the shared module-scoped fixture buffers into
+    a donating step (donation is real on TPU, a warning-only no-op on CPU)."""
+    copied = jax.tree.map(jnp.array, params)
+    return tr.init_train_state(TINY, copied, tx)
+
+
 def _batch(B=4, seed=0):
     rng = np.random.default_rng(seed)
     return {
@@ -96,7 +104,8 @@ class TestComputeLosses:
 
 class TestTrainStep:
     def test_loss_decreases(self, setup):
-        model, params, tx, state = setup
+        model, params, tx, _ = setup
+        state = fresh_state(params, tx)
         step = tr.make_train_step(model, TINY, tx)
         batch = _batch()
         lam = jnp.asarray(0.5)
@@ -109,7 +118,7 @@ class TestTrainStep:
 
     def test_frozen_params_unchanged(self, setup):
         model, params, tx, _ = setup
-        state = tr.init_train_state(TINY, params, tx)
+        state = fresh_state(params, tx)
         emb0 = np.asarray(state.frozen[("embedding_table",)]).copy()
         step = tr.make_train_step(model, TINY, tx)
         state, _ = step(state, _batch(), jax.random.PRNGKey(0), jnp.asarray(0.5))
@@ -119,7 +128,7 @@ class TestTrainStep:
 
     def test_set_learning_rate(self, setup):
         model, params, tx, _ = setup
-        state = tr.init_train_state(TINY, params, tx)
+        state = fresh_state(params, tx)
         state = tr.set_learning_rate(state, 3e-4)
         assert float(state.opt_state.hyperparams["learning_rate"]) == pytest.approx(3e-4)
 
@@ -127,7 +136,7 @@ class TestTrainStep:
 class TestFit:
     def test_epoch_driver_logs_and_history(self, setup):
         model, params, tx, _ = setup
-        state = tr.init_train_state(TINY, params, tx)
+        state = fresh_state(params, tx)
         batches = [_batch(seed=s) for s in range(3)]
         buf = io.StringIO()
         saved = []
@@ -148,7 +157,7 @@ class TestFit:
 
     def test_debug_mode_single_batch(self, setup):
         model, params, tx, _ = setup
-        state = tr.init_train_state(TINY, params, tx)
+        state = fresh_state(params, tx)
         calls = []
         state, hist = tr.fit(
             model, TINY, state, [_batch()], [_batch()],
