@@ -57,14 +57,28 @@ def convert_distilbert_encoder(sd, n_layers: int = 6) -> dict:
     put(("embed_layer_norm", "bias"), _np(sd["distilbert.embeddings.LayerNorm.bias"]))
     for i in range(n_layers):
         hf = f"distilbert.transformer.layer.{i}"
-        for ours, theirs in (
-            ("q_lin", "attention.q_lin"),
-            ("k_lin", "attention.k_lin"),
-            ("v_lin", "attention.v_lin"),
-            ("out_lin", "attention.out_lin"),
-        ):
-            put((f"layer_{i}", "attention", ours, "kernel"), _np(sd[f"{hf}.{theirs}.weight"]).T)
-            put((f"layer_{i}", "attention", ours, "bias"), _np(sd[f"{hf}.{theirs}.bias"]))
+        # HF keeps separate q/k/v linears; our attention runs one fused
+        # [D, 3D] projection (models/distilbert.py) — concatenate.
+        qkv_kernel = np.concatenate(
+            [
+                _np(sd[f"{hf}.attention.{n}.weight"]).T
+                for n in ("q_lin", "k_lin", "v_lin")
+            ],
+            axis=1,
+        )
+        qkv_bias = np.concatenate(
+            [_np(sd[f"{hf}.attention.{n}.bias"]) for n in ("q_lin", "k_lin", "v_lin")]
+        )
+        put((f"layer_{i}", "attention", "qkv_lin", "kernel"), qkv_kernel)
+        put((f"layer_{i}", "attention", "qkv_lin", "bias"), qkv_bias)
+        put(
+            (f"layer_{i}", "attention", "out_lin", "kernel"),
+            _np(sd[f"{hf}.attention.out_lin.weight"]).T,
+        )
+        put(
+            (f"layer_{i}", "attention", "out_lin", "bias"),
+            _np(sd[f"{hf}.attention.out_lin.bias"]),
+        )
         for ours, theirs in (("ffn_lin1", "ffn.lin1"), ("ffn_lin2", "ffn.lin2")):
             put((f"layer_{i}", ours, "kernel"), _np(sd[f"{hf}.{theirs}.weight"]).T)
             put((f"layer_{i}", ours, "bias"), _np(sd[f"{hf}.{theirs}.bias"]))
