@@ -43,7 +43,6 @@ class DenoiserOutput(NamedTuple):
 
 class CLIPDiffusionLM(nn.Module):
     cfg: Config
-    attention_fn: Optional[Callable] = None
     logits_fn: Optional[Callable] = None  # (hidden[N,L,C], kernel[C,V]) -> logits
 
     def setup(self):
@@ -60,7 +59,7 @@ class CLIPDiffusionLM(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             initializer_range=cfg.initializer_range,
             dtype=dtype,
-            attention_fn=self.attention_fn,
+            use_fused_core=cfg.use_pallas_attention,
             remat=cfg.remat_denoiser,
             name="encoder",
         )
@@ -185,15 +184,12 @@ def param_labels(params, cfg: Config):
 def init_denoiser(
     cfg: Config,
     key: jax.Array,
-    attention_fn: Optional[Callable] = None,
     logits_fn: Optional[Callable] = None,
 ) -> tuple[CLIPDiffusionLM, FrozenDict[str, Any]]:
-    """Build module + initialize params with dummy static-shape inputs."""
-    if attention_fn is None and cfg.use_pallas_attention:
-        from diffusion_image_captioning_tpu.ops.attention import make_attention_fn
-
-        attention_fn = make_attention_fn()  # None off-TPU -> XLA reference
-    model = CLIPDiffusionLM(cfg=cfg, attention_fn=attention_fn, logits_fn=logits_fn)
+    """Build module + initialize params with dummy static-shape inputs.
+    The fused attention core (ops/attention_core.py) engages on TPU when
+    cfg.use_pallas_attention; the XLA composition runs elsewhere."""
+    model = CLIPDiffusionLM(cfg=cfg, logits_fn=logits_fn)
     N = 2
     x = jnp.zeros((N, cfg.max_length, cfg.in_channel), jnp.float32)
     clip = jnp.zeros((N, 1, cfg.clip_dim), jnp.float32)

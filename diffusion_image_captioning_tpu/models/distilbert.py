@@ -58,14 +58,17 @@ class MultiHeadSelfAttention(nn.Module):
     dropout: float
     dtype: Dtype = jnp.bfloat16
     initializer_range: float = 0.02
-    attention_fn: Optional[Callable] = None  # injected Pallas kernel
+    use_fused_core: bool = True  # Pallas attention_core on TPU
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         """x: FLAT [N*L, D] activations (see DenoiserEncoder — the flat
         layout dodges sublane padding at tiny L); mask: [N, L]."""
+        from diffusion_image_captioning_tpu.ops.attention_core import (
+            attention_core,
+        )
+
         N, L = mask.shape
-        dh = self.dim // self.n_heads
         init = initializers.normal(self.initializer_range)
         # One fused [D, 3D] projection instead of three [D, D] matmuls
         # (models/hf_convert.py concatenates HF's separate q/k/v matrices
@@ -77,24 +80,17 @@ class MultiHeadSelfAttention(nn.Module):
             kernel_init=init,
             name="qkv_lin",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        reshape = lambda t: t.reshape(N, L, self.n_heads, dh).transpose(0, 2, 1, 3)  # noqa: E731
-        q, k, v = reshape(q), reshape(k), reshape(v)
-
-        attn_drop = None
-        if not deterministic and self.dropout > 0:
-            layer = nn.Dropout(rate=self.dropout, deterministic=False)
-            attn_drop = lambda w: layer(w)  # noqa: E731
-
-        fn = self.attention_fn
-        if fn is None or not deterministic:
-            # The fused kernel defines no VJP and no attention-dropout path:
-            # training (any grad context) uses the XLA route; deterministic
-            # eval/sampling takes the kernel.
-            out = mha_reference(q, k, v, mask, dropout_fn=attn_drop)
-        else:
-            out = fn(q, k, v, mask)
-        out = out.transpose(0, 2, 1, 3).reshape(N * L, self.dim)
+        rate = self.dropout if not deterministic else 0.0
+        rng = self.make_rng("dropout") if rate > 0 else None
+        out = attention_core(
+            qkv,
+            mask,
+            n_heads=self.n_heads,
+            seq_len=L,
+            dropout_rate=rate,
+            dropout_rng=rng,
+            force_xla=not self.use_fused_core,
+        )
         return nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -115,7 +111,7 @@ class TransformerBlock(nn.Module):
     layer_norm_eps: float = 1e-12
     dtype: Dtype = jnp.bfloat16
     initializer_range: float = 0.02
-    attention_fn: Optional[Callable] = None
+    use_fused_core: bool = True
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
@@ -129,7 +125,7 @@ class TransformerBlock(nn.Module):
             dropout=self.attention_dropout,
             dtype=self.dtype,
             initializer_range=self.initializer_range,
-            attention_fn=self.attention_fn,
+            use_fused_core=self.use_fused_core,
             name="attention",
         )(x, mask, deterministic)
         x = ln("sa_layer_norm")(x + attn_out)
@@ -171,7 +167,7 @@ class DenoiserEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     initializer_range: float = 0.02
     dtype: Dtype = jnp.bfloat16
-    attention_fn: Optional[Callable] = None
+    use_fused_core: bool = True
     remat: bool = False
 
     @nn.compact
@@ -211,7 +207,7 @@ class DenoiserEncoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 dtype=self.dtype,
                 initializer_range=self.initializer_range,
-                attention_fn=self.attention_fn,
+                use_fused_core=self.use_fused_core,
                 name=f"layer_{i}",
             )(x, mask, deterministic)
 

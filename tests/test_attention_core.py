@@ -1,0 +1,93 @@
+"""Fused attention-core tests: Pallas (interpret) vs XLA oracle, gradients,
+dropout semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_image_captioning_tpu.ops import attention_core as ac
+
+
+def make_inputs(N=4, L=6, H=2, dh=8, seed=0):
+    D = H * dh
+    qkv = jax.random.normal(jax.random.PRNGKey(seed), (N * L, 3 * D))
+    mask = jnp.ones((N, L)).at[:, -2:].set(0.0)
+    return qkv, mask, H, dh, L
+
+
+class TestForward:
+    def test_pallas_interpret_matches_xla(self):
+        qkv, mask, H, dh, L = make_inputs()
+        ref = ac._xla_core(qkv, mask, H=H, dh=dh, L=L)
+        got = ac.attention_core(
+            qkv, mask, n_heads=H, seq_len=L, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_xla_core_matches_mha_reference(self):
+        from diffusion_image_captioning_tpu.models.distilbert import mha_reference
+
+        qkv, mask, H, dh, L = make_inputs()
+        N = mask.shape[0]
+        D = H * dh
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        rs = lambda t: t.reshape(N, L, H, dh).transpose(0, 2, 1, 3)  # noqa: E731
+        ref = (
+            mha_reference(rs(q), rs(k), rs(v), mask)
+            .transpose(0, 2, 1, 3)
+            .reshape(N * L, D)
+        )
+        got = ac._xla_core(qkv, mask, H=H, dh=dh, L=L)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_tile_n_not_divisible(self):
+        qkv, mask, H, dh, L = make_inputs(N=5)  # 5 % 8 != 0 -> TN=1
+        ref = ac._xla_core(qkv, mask, H=H, dh=dh, L=L)
+        got = ac.attention_core(qkv, mask, n_heads=H, seq_len=L, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestBackward:
+    def test_grad_matches_xla_autodiff(self):
+        qkv, mask, H, dh, L = make_inputs()
+
+        def f_pallas(qkv):
+            return ac.attention_core(
+                qkv, mask, n_heads=H, seq_len=L, interpret=True
+            ).sum()
+
+        def f_xla(qkv):
+            return ac._xla_core(qkv, mask, H=H, dh=dh, L=L).sum()
+
+        g1 = jax.grad(f_pallas)(qkv)
+        g2 = jax.grad(f_xla)(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+class TestDropout:
+    def test_xla_dropout_zeroes_and_scales(self):
+        qkv, mask, H, dh, L = make_inputs()
+        rng = jax.random.PRNGKey(7)
+        out1 = ac.attention_core(
+            qkv, mask, n_heads=H, seq_len=L,
+            dropout_rate=0.5, dropout_rng=rng, force_xla=True,
+        )
+        out2 = ac.attention_core(
+            qkv, mask, n_heads=H, seq_len=L,
+            dropout_rate=0.5, dropout_rng=rng, force_xla=True,
+        )
+        # same rng -> identical
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        out3 = ac.attention_core(
+            qkv, mask, n_heads=H, seq_len=L,
+            dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(8), force_xla=True,
+        )
+        assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-6
+
+    def test_requires_rng(self):
+        qkv, mask, H, dh, L = make_inputs()
+        with pytest.raises(ValueError):
+            ac.attention_core(
+                qkv, mask, n_heads=H, seq_len=L, dropout_rate=0.1, force_xla=True
+            )
