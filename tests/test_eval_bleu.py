@@ -59,6 +59,39 @@ class TestBleuCorpus:
         assert got == pytest.approx(expect, rel=1e-9)
 
 
+class TestAgainstNLTK:
+    """Cross-validate against nltk.corpus_bleu — the algorithm torchmetrics
+    BLEUScore (the reference's scorer, CLIP-DDPM.py:604-629) implements."""
+
+    def _cases(self):
+        rng = np.random.default_rng(0)
+        vocab = ["a", "b", "c", "d", "e", "f", "g", "the", "dog", "ran"]
+        cases = []
+        for _ in range(8):
+            cands, refs = [], []
+            for _ in range(4):
+                n = int(rng.integers(5, 12))
+                cands.append(list(rng.choice(vocab, n)))
+                rs = []
+                for _ in range(int(rng.integers(1, 4))):
+                    m = int(rng.integers(4, 13))
+                    rs.append(list(rng.choice(vocab, m)))
+                refs.append(rs)
+            cases.append((cands, refs))
+        return cases
+
+    def test_matches_nltk_corpus_bleu(self):
+        nltk_bleu = pytest.importorskip("nltk.translate.bleu_score")
+        import warnings
+
+        for cands, refs in self._cases():
+            ours = eb.bleu_corpus(cands, refs)
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                theirs = nltk_bleu.corpus_bleu(refs, cands)
+            assert ours == pytest.approx(theirs, abs=1e-9), (cands, refs)
+
+
 class TestProtocol:
     def test_format_references(self):
         out = eb.format_references(["A Dog runs. ", "Cat"])
