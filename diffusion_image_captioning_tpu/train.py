@@ -247,6 +247,11 @@ def make_train_step(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch: dict, key: jax.Array, lam: jnp.ndarray):
+        # Key folded with the step counter ON DEVICE: the driver loop can
+        # pass one constant key for the whole run (a host-side
+        # jax.random.split per step costs a dispatch round-trip each).
+        key = jax.random.fold_in(key, state.step)
+
         def loss_fn(trainable):
             params = merge_params(trainable, state.frozen)
             m = compute_losses(
@@ -308,14 +313,19 @@ def fit(
     Returns (state, history) where history is a list of per-epoch dicts with
     the six averaged loss scalars, matching the log line order.
     """
+    from diffusion_image_captioning_tpu.data.prefetch import PrefetchingLoader
+
     debug = cfg.debug if debug is None else debug
     tx = make_optimizer(cfg)
     train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_step(model, cfg)
     lrs = schedules.learning_rates(cfg)
     key = jax.random.PRNGKey(seed)
+    base_key = jax.random.fold_in(key, 0x5EED)  # per-step fold happens on device
     lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
     dyn = cfg.dynamic_rounding_weight
+    if not isinstance(train_batches, PrefetchingLoader):
+        train_batches = PrefetchingLoader(train_batches)
 
     early_stopped = False
     history = []
@@ -324,22 +334,25 @@ def fit(
             state = set_learning_rate(state, float(lrs[epoch]))
 
         acc = {"x_t_loss": [], "x_1_loss": [], "prob_loss": [], "total": []}
+        dyn_acc = jnp.zeros((3,), jnp.float32)
         n_train = 0
         for batch in train_batches:
-            key, k = jax.random.split(key)
-            state, metrics = train_step(state, device_batch(batch), k, lam)
+            state, metrics = train_step(state, device_batch(batch), base_key, lam)
             for name in acc:
                 acc[name].append(metrics[name])
             n_train += 1
             if dyn > 0:
-                # Host-side dynamic lambda on accumulated scalars
-                # (CLIP-DDPM.py:535-536). Forces a sync per step; only the
-                # fidelity path pays it.
-                s_xt = float(jnp.sum(jnp.stack(acc["x_t_loss"])))
-                s_x1 = float(jnp.sum(jnp.stack(acc["x_1_loss"])))
-                s_pr = float(jnp.sum(jnp.stack(acc["prob_loss"])))
-                if s_pr > 0:
-                    lam = jnp.asarray((s_xt + s_x1) / s_pr * dyn, jnp.float32)
+                # Dynamic lambda on epoch-accumulated scalars
+                # (CLIP-DDPM.py:535-536) — pure device ops, dispatched
+                # asynchronously; the host never blocks on it.
+                dyn_acc = dyn_acc + jnp.stack(
+                    [metrics["x_t_loss"], metrics["x_1_loss"], metrics["prob_loss"]]
+                )
+                lam = jnp.where(
+                    dyn_acc[2] > 0,
+                    (dyn_acc[0] + dyn_acc[1]) / dyn_acc[2] * dyn,
+                    lam,
+                )
             if progress_fn is not None:
                 progress_fn(epoch, n_train, metrics)
             if debug:

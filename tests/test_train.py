@@ -155,6 +155,19 @@ class TestFit:
         assert len(vals) == 6
         assert saved in ([ "final"], ["early_stop"])  # exactly one checkpoint
 
+    def test_dynamic_rounding_weight(self, setup):
+        """Dynamic lambda (CLIP-DDPM.py:535-536): lambda tracks the device-
+        accumulated loss ratio; the fit loop must stay finite and the
+        prob term must respond to the changing weight."""
+        model, params, _, _ = setup
+        cfg = TINY.replace(dynamic_rounding_weight=0.5, epoch_num=2)
+        tx = tr.make_optimizer(cfg)
+        state = tr.init_train_state(cfg, jax.tree.map(jnp.array, params), tx)
+        batches = [_batch(seed=s) for s in range(2)]
+        state, hist = tr.fit(model, cfg, state, batches, batches[:1])
+        assert all(np.isfinite(h["train_prob"]) for h in hist)
+        assert hist[-1]["train_prob"] > 0
+
     def test_debug_mode_single_batch(self, setup):
         model, params, tx, _ = setup
         state = fresh_state(params, tx)
