@@ -67,6 +67,151 @@ def _kernel(
         lse_ref[:, 0] = lse
 
 
+def _dh_kernel(idx_ref, g_ref, lse_ref, h_ref, w_ref, dh_ref, acc, *, true_v, tile_v):
+    """dh = sum_v dz[:, v] W[:, v]^T with dz = g * (onehot - softmax),
+    recomputing z per vocab tile. Grid (M tiles, V tiles), V minormost."""
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    h = h_ref[:]
+    w = w_ref[:]  # [C, TV]
+    z = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    base = j * tile_v
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + base
+    lse = lse_ref[:, 0]
+    p = jnp.where(col < true_v, jnp.exp(z - lse[:, None]), 0.0)
+    onehot = (col == idx_ref[:, 0][:, None]).astype(jnp.float32)
+    dz = g_ref[:, 0][:, None] * (onehot - p)  # [TM, TV] fp32
+    acc[:] = acc[:] + jax.lax.dot_general(
+        dz.astype(w.dtype), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _():
+        dh_ref[:] = acc[:].astype(dh_ref.dtype)
+
+
+def _dw_kernel(idx_ref, g_ref, lse_ref, h_ref, w_ref, dw_ref, acc, *, true_v, tile_v):
+    """dW[:, tile] = sum_m h[m]^T dz[m, tile]. Grid (V tiles, M tiles),
+    M minormost so the dW tile accumulates in scratch."""
+    from jax.experimental import pallas as pl
+
+    i = pl.program_id(1)
+    ni = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    h = h_ref[:]  # [TM, C]
+    w = w_ref[:]  # [C, TV]
+    z = jax.lax.dot_general(
+        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    base = pl.program_id(0) * tile_v
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + base
+    lse = lse_ref[:, 0]
+    p = jnp.where(col < true_v, jnp.exp(z - lse[:, None]), 0.0)
+    onehot = (col == idx_ref[:, 0][:, None]).astype(jnp.float32)
+    dz = g_ref[:, 0][:, None] * (onehot - p)  # [TM, TV]
+    acc[:] = acc[:] + jax.lax.dot_general(
+        h, dz.astype(h.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [C, TV]
+
+    @pl.when(i == ni - 1)
+    def _():
+        dw_ref[:] = acc[:].astype(dw_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_m", "tile_v", "interpret", "dtype")
+)
+def pallas_logprob_bwd(
+    h: jnp.ndarray,        # [M, C]
+    kernel: jnp.ndarray,   # [C, V]
+    idx: jnp.ndarray,      # [M] int32
+    lse: jnp.ndarray,      # [M] fp32 (saved by the forward)
+    g: jnp.ndarray,        # [M] fp32 cotangent
+    *,
+    tile_m: int = 256,
+    tile_v: int = 1024,
+    interpret: bool = False,
+    dtype=jnp.float32,
+):
+    """(dh [M, C] fp32, dW [C, V] fp32) via two streaming kernels. When the
+    vocab head is frozen, the unused dW pallas_call is dead-code-eliminated
+    by XLA."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, C = h.shape
+    V = kernel.shape[1]
+    h = h.astype(dtype)
+    kernel = kernel.astype(dtype)
+    pad_m = (-M) % tile_m
+    pad_v = (-V) % tile_v
+    Mp, Vp = M + pad_m, V + pad_v
+    if pad_m:
+        h = jnp.pad(h, ((0, pad_m), (0, 0)))
+        idx = jnp.pad(idx, (0, pad_m))
+        lse = jnp.pad(lse, (0, pad_m), constant_values=1.0)
+        g = jnp.pad(g, (0, pad_m))  # zero cotangent -> zero dz for pad rows
+    if pad_v:
+        kernel = jnp.pad(kernel, ((0, 0), (0, pad_v)))
+    idx2 = idx.reshape(Mp, 1)
+    lse2 = lse.astype(jnp.float32).reshape(Mp, 1)
+    g2 = g.astype(jnp.float32).reshape(Mp, 1)
+
+    row_specs = [
+        pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, tile_v), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    dh = pl.pallas_call(
+        functools.partial(_dh_kernel, true_v=V, tile_v=tile_v),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), jnp.float32),
+        grid=(Mp // tile_m, Vp // tile_v),
+        in_specs=row_specs,
+        out_specs=pl.BlockSpec(
+            (tile_m, C), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((tile_m, C), jnp.float32)],
+        interpret=interpret,
+    )(idx2, g2, lse2, h, kernel)
+
+    col_specs = [
+        pl.BlockSpec((tile_m, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, 1), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_m, C), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, tile_v), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+    ]
+    dW = pl.pallas_call(
+        functools.partial(_dw_kernel, true_v=V, tile_v=tile_v),
+        out_shape=jax.ShapeDtypeStruct((C, Vp), jnp.float32),
+        grid=(Vp // tile_v, Mp // tile_m),
+        in_specs=col_specs,
+        out_specs=pl.BlockSpec(
+            (C, tile_v), lambda j, i: (0, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((C, tile_v), jnp.float32)],
+        interpret=interpret,
+    )(idx2, g2, lse2, h, kernel)
+    return dh[:M], dW[:, :V]
+
+
 @functools.partial(
     jax.jit, static_argnames=("tile_m", "tile_v", "interpret", "dtype")
 )

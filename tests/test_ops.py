@@ -54,13 +54,17 @@ class TestFusedLogprob:
 
 
 class TestPallasLogprob:
-    def test_interpret_matches_dense(self):
-        from diffusion_image_captioning_tpu.ops.rounding_pallas import pallas_logprob
-
+    def _inputs(self):
         M, C, V = 16, 8, 100
         h = jax.random.normal(jax.random.PRNGKey(0), (M, C))
         W = jax.random.normal(jax.random.PRNGKey(1), (C, V)) * 0.3
         idx = jax.random.randint(jax.random.PRNGKey(2), (M,), 0, V)
+        return h, W, idx
+
+    def test_interpret_matches_dense(self):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import pallas_logprob
+
+        h, W, idx = self._inputs()
         z = h @ W
         ref = (
             jnp.take_along_axis(z, idx[:, None], -1)[:, 0]
@@ -73,6 +77,31 @@ class TestPallasLogprob:
         np.testing.assert_allclose(
             np.asarray(lse), np.asarray(jax.nn.logsumexp(z, axis=-1)), atol=1e-5
         )
+
+    def test_interpret_bwd_matches_autodiff(self):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import (
+            pallas_logprob_bwd,
+        )
+
+        h, W, idx = self._inputs()
+
+        def dense(h, W):
+            z = h @ W
+            return (
+                jnp.take_along_axis(z, idx[:, None], -1)[:, 0]
+                - jax.nn.logsumexp(z, axis=-1)
+            )
+
+        lse = jax.nn.logsumexp(h @ W, axis=-1)
+        g = jax.random.normal(jax.random.PRNGKey(3), (h.shape[0],))
+        dh, dW = pallas_logprob_bwd(
+            h, W, idx, lse, g, tile_m=8, tile_v=64, interpret=True
+        )
+        ref_dh, ref_dW = jax.grad(
+            lambda h, W: (dense(h, W) * g).sum(), argnums=(0, 1)
+        )(h, W)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(ref_dh), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dW), np.asarray(ref_dW), atol=1e-4)
 
 
 class TestPallasAttention:
