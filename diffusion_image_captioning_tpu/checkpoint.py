@@ -28,7 +28,18 @@ from diffusion_image_captioning_tpu.train import TrainState
 
 
 def _ckpt_dir(directory: str, name: str) -> str:
-    return os.path.abspath(os.path.join(directory, f"{name}.ckpt"))
+    """Checkpoint directory for a run name. The codec name can exceed the
+    filesystem's 255-byte component limit once orbax appends its tmp
+    suffix, so long names map deterministically to a truncated+hashed
+    directory (the full name lives in the sidecar meta and the .txt/.valset
+    artifacts keep the reference-compatible full name)."""
+    base = f"{name}.ckpt"
+    if len(base) > 180:
+        import hashlib
+
+        digest = hashlib.sha1(name.encode()).hexdigest()[:10]
+        base = f"{name[:160]}~{digest}.ckpt"
+    return os.path.abspath(os.path.join(directory, base))
 
 
 def save(

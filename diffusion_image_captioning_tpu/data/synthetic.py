@@ -39,6 +39,73 @@ def synthetic_clip_features(n: int, dim: int = 512, seed: int = 1) -> np.ndarray
     return f / np.linalg.norm(f, axis=1, keepdims=True)
 
 
+_SUBJECTS = ["a dog", "a cat", "a man", "a woman", "a child", "two people",
+             "a group of people", "a horse", "a bird", "a cyclist"]
+_VERBS = ["running", "sitting", "jumping", "playing", "standing", "walking",
+          "sleeping", "eating"]
+_PLACES = ["on the grass", "at the beach", "in the park", "on the street",
+           "near the water", "in the snow", "on a bench", "by a tree"]
+
+
+def synthetic_correlated_captions(
+    n_images: int, clip_dim: int = 512, seed: int = 0
+):
+    """A learnable captioning world: each image is a (subject, verb, place)
+    triple; its "CLIP" feature is a fixed random embedding of the triple
+    (plus small per-image noise), and its 5 captions are word-order
+    paraphrases of the triple. A model that uses the image conditioning can
+    predict the caption content — so val BLEU-4 meaningfully exceeds the
+    unconditioned floor (unlike uniformly random captions)."""
+    rng = np.random.default_rng(seed)
+    axes = {}
+    for name, vocab in (("s", _SUBJECTS), ("v", _VERBS), ("p", _PLACES)):
+        axes[name] = rng.normal(size=(len(vocab), clip_dim)).astype(np.float32)
+
+    imgs, caps, feats = [], [], []
+    for i in range(n_images):
+        si = int(rng.integers(len(_SUBJECTS)))
+        vi = int(rng.integers(len(_VERBS)))
+        pi = int(rng.integers(len(_PLACES)))
+        f = (
+            axes["s"][si] + axes["v"][vi] + axes["p"][pi]
+            + 0.1 * rng.normal(size=clip_dim)
+        ).astype(np.float32)
+        f /= np.linalg.norm(f)
+        s, v, p = _SUBJECTS[si], _VERBS[vi], _PLACES[pi]
+        variants = [
+            f"{s} {v} {p} .",
+            f"{s} is {v} {p} .",
+            f"{p} , {s} is {v} .",
+            f"{s} {v} {p} today .",
+            f"there is {s} {v} {p} .",
+        ]
+        for cap in variants:
+            imgs.append(f"img_{i:05d}.jpg")
+            caps.append(cap)
+            feats.append(f)
+    return imgs, caps, np.stack(feats)
+
+
+def synthetic_correlated_flickr_dir(tmp_dir: str, n_images: int = 800, seed: int = 0) -> str:
+    """Materialize the correlated world in flickr8k layout."""
+    import os
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    imgs, caps, feats = synthetic_correlated_captions(n_images, seed=seed)
+    with open(os.path.join(tmp_dir, "captions.txt"), "w") as f:
+        f.write("image,caption\n")
+        for img, cap in zip(imgs, caps):
+            f.write(f'{img},"{cap}"\n')
+    np.save(os.path.join(tmp_dir, "image_clip.npy"), feats)
+    # text features: caption-side embedding = image feature (they encode
+    # the same triple), small independent noise
+    rng = np.random.default_rng(seed + 99)
+    txt = feats + 0.05 * rng.normal(size=feats.shape).astype(np.float32)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    np.save(os.path.join(tmp_dir, "text_clip.npy"), txt)
+    return tmp_dir
+
+
 def synthetic_flickr_dirs(tmp_dir: str, n: int = 100, seed: int = 0) -> str:
     """Materialize a flickr8k-layout directory (captions.txt + feature .npy)
     under tmp_dir for driving the full file-based pipeline."""

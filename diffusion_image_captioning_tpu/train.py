@@ -378,8 +378,7 @@ def fit(
             if not early_stopped:
                 if summary is not None:
                     summary.write("early stop! \n")
-                if checkpoint_fn is not None:
-                    checkpoint_fn(state, "early_stop")
+                _checkpoint_guarded(checkpoint_fn, state, "early_stop", summary)
             early_stopped = True
 
         row = {
@@ -403,6 +402,23 @@ def fit(
         if debug:
             break
 
-    if not early_stopped and checkpoint_fn is not None:
-        checkpoint_fn(state, "final")
+    if not early_stopped:
+        _checkpoint_guarded(checkpoint_fn, state, "final", summary)
     return state, history
+
+
+def _checkpoint_guarded(checkpoint_fn, state, tag, summary):
+    """A failed checkpoint write must not kill a long training run
+    (failure-resilience the reference lacks, SURVEY.md section 5.3): log
+    and continue."""
+    if checkpoint_fn is None:
+        return
+    try:
+        checkpoint_fn(state, tag)
+    except Exception as e:  # noqa: BLE001 — deliberate containment
+        msg = f"checkpoint '{tag}' failed: {type(e).__name__}: {e}\n"
+        if summary is not None:
+            summary.write(msg)
+            summary.flush()
+        else:
+            print(msg, end="")

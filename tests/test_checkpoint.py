@@ -1,5 +1,7 @@
 """Checkpoint round-trip tests (Orbax) + val-split artifacts."""
 
+import os
+
 import jax
 import numpy as np
 import pytest
@@ -47,6 +49,15 @@ class TestCheckpoint:
         )
         # ...but step/opt state are fresh (CLIP-DDPM.py:505-508 semantics)
         assert int(resumed.step) == 0
+
+    def test_long_run_name(self, state, tmp_path):
+        """Codec run names can exceed the 255-byte filename limit once orbax
+        appends its tmp suffix — the ckpt dir must truncate+hash."""
+        name = "epoch10_" + "x" * 240
+        path = ck.save(state, TINY, name, str(tmp_path))
+        assert len(os.path.basename(path)) <= 185
+        restored, _, _ = ck.restore(name, str(tmp_path), template=state)
+        assert int(restored.step) == int(state.step)
 
     def test_val_indices_artifact(self, tmp_path):
         idx = np.asarray([4, 8, 15, 16, 23, 42])
