@@ -188,6 +188,53 @@ def ancestral_sample(
     return logits, x_final
 
 
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "steps"))
+def ddim_sample(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    abar: jnp.ndarray,        # schedules.alpha_cumprod_table(cfg)
+    image_clip: jnp.ndarray,  # [B, clip_dim]
+    key: jax.Array,
+    *,
+    steps: int = 50,
+):
+    """Deterministic DDIM sampling (Song et al. 2021, eta=0) — framework
+    extension; the reference has no reverse-process sampler at all.
+
+    With an x0-predicting denoiser: eps_hat = (x_t - sqrt(abar_t) x0_hat) /
+    sqrt(1-abar_t); x_s = sqrt(abar_s) x0_hat + sqrt(1-abar_s) eps_hat.
+    One lax.scan over the strided timestep ladder.
+    """
+    B = image_clip.shape[0]
+    L, C = cfg.max_length, cfg.in_channel
+    img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
+    ts = jnp.linspace(cfg.step_tot - 1, 0, steps + 1).astype(jnp.int32)
+
+    x = jax.random.normal(key, (B, L, C), jnp.float32)
+
+    def body(x, t_pair):
+        t, s = t_pair
+        out = model.apply(
+            {"params": params}, x, img, txt, mask, cmask,
+            deterministic=True, return_logits=False,
+        )
+        x0_hat = out.hidden[:, :L]
+        a_t = abar[t]
+        a_s = abar[s]
+        eps_hat = (x - jnp.sqrt(a_t) * x0_hat) / jnp.sqrt(
+            jnp.maximum(1.0 - a_t, 1e-8)
+        )
+        x_next = jnp.sqrt(a_s) * x0_hat + jnp.sqrt(
+            jnp.maximum(1.0 - a_s, 0.0)
+        ) * eps_hat
+        return x_next, None
+
+    x, _ = jax.lax.scan(body, x, (ts[:-1], ts[1:]))
+    logits = model.apply({"params": params}, x, method="decode_logits")
+    return logits, x
+
+
 def greedy_decode_ids(logits: np.ndarray) -> list[np.ndarray]:
     """argmax + consecutive-duplicate collapse, per row — the reference's
     softmax().argmax().unique_consecutive() (CLIP-DDPM.py:620-621; softmax

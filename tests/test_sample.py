@@ -87,6 +87,22 @@ class TestAncestral:
         assert np.all(np.isfinite(np.asarray(x)))
 
 
+class TestDDIM:
+    def test_runs_deterministic(self, model_and_params):
+        model, params = model_and_params
+        abar = schedules.alpha_cumprod_table(TINY)
+        clip = jax.random.normal(jax.random.PRNGKey(6), (2, TINY.clip_dim))
+        l1, x1 = sp.ddim_sample(
+            model, TINY, params, abar, clip, jax.random.PRNGKey(0), steps=4
+        )
+        l2, x2 = sp.ddim_sample(
+            model, TINY, params, abar, clip, jax.random.PRNGKey(0), steps=4
+        )
+        np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+        assert l1.shape == (2, TINY.max_length, TINY.vocab_size)
+        assert np.all(np.isfinite(np.asarray(x1)))
+
+
 class TestDecode:
     def test_unique_consecutive(self):
         logits = np.zeros((1, 6, 4), np.float32)
