@@ -61,6 +61,7 @@ class Summary:
         stream: Optional[TextIO] = None,
     ):
         self.name = model_name(cfg)
+        os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, f"{self.name}.txt")
         self._fh = stream if stream is not None else open(self.path, "a")
         self._csv_path = (
