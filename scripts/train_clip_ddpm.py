@@ -47,16 +47,31 @@ def main() -> None:
     p.add_argument("--assets_dir", default=None, help="dir with vocab.txt / HF saves")
     p.add_argument("--out_dir", default=".")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--debug_nans", action="store_true",
+        help="enable jax NaN checking (slow; forces sync dispatch)",
+    )
+    p.add_argument(
+        "--profile_dir", default=None,
+        help="write a jax.profiler trace of the run here",
+    )
     add_config_flags(p)
     args = p.parse_args()
     cfg = config_from_args(args)
 
-    from diffusion_image_captioning_tpu.pipeline import run_flickr_training
+    if args.debug_nans:
+        from diffusion_image_captioning_tpu.utils.profiling import debug_nans
 
-    _, history, bleu = run_flickr_training(
-        cfg, args.flickr8k_dir, args.flickr30k_dir,
-        out_dir=args.out_dir, assets_dir=args.assets_dir, seed=args.seed,
-    )
+        debug_nans(True)
+
+    from diffusion_image_captioning_tpu.pipeline import run_flickr_training
+    from diffusion_image_captioning_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        _, history, bleu = run_flickr_training(
+            cfg, args.flickr8k_dir, args.flickr30k_dir,
+            out_dir=args.out_dir, assets_dir=args.assets_dir, seed=args.seed,
+        )
     print(f"final BLEU-4: {bleu}")
 
 
