@@ -196,7 +196,9 @@ class DenoiserEncoder(nn.Module):
 
         block_cls = TransformerBlock
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(2,))
+            # linen remat argnums count the module instance as arg 0, so
+            # `deterministic` (a Python bool) is positional arg 3.
+            block_cls = nn.remat(TransformerBlock, static_argnums=(3,))
         for i in range(self.n_layers):
             x = block_cls(
                 dim=self.dim,

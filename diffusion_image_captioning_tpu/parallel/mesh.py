@@ -36,6 +36,21 @@ _TP_RULES = {
 }
 
 
+def init_distributed() -> bool:
+    """Multi-host initialization (SURVEY.md section 2.14): call once per
+    process before device use on a multi-host slice. No-op (returns False)
+    when the standard coordinator env vars are absent — single-host runs,
+    tests, and this single-chip environment skip it transparently."""
+    import os
+
+    if not (
+        os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
+        return False
+    jax.distributed.initialize()
+    return True
+
+
 def make_mesh(
     data: Optional[int] = None,
     model: int = 1,

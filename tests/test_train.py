@@ -155,6 +155,17 @@ class TestFit:
         assert len(vals) == 6
         assert saved in ([ "final"], ["early_stop"])  # exactly one checkpoint
 
+    def test_remat_denoiser(self, setup):
+        """jax.checkpoint over encoder blocks (remat_denoiser flag) must
+        train identically-shaped and finite."""
+        model_cfg = TINY.replace(remat_denoiser=True)
+        model, params = init_denoiser(model_cfg, jax.random.PRNGKey(0))
+        tx = tr.make_optimizer(model_cfg)
+        state = tr.init_train_state(model_cfg, params, tx)
+        step = tr.make_train_step(model, model_cfg, tx)
+        state, m = step(state, _batch(), jax.random.PRNGKey(0), jnp.asarray(0.5))
+        assert np.isfinite(float(m["total"]))
+
     def test_dynamic_rounding_weight(self, setup):
         """Dynamic lambda (CLIP-DDPM.py:535-536): lambda tracks the device-
         accumulated loss ratio; the fit loop must stay finite and the
