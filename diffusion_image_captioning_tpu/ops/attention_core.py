@@ -28,20 +28,23 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_TILE_N = 8  # sequences per program (808 = 101 x 8 at flagship size)
+_TILE_N = 8  # max sequences per program (808 = 101 x 8 at flagship size)
 
 
-def _heads(block, H: int, dh: int, TN: int, L: int, part: int):
-    """Slice head tensors out of a [TN*L, 3D] qkv block.
+def _tile_n(L: int) -> int:
+    """Sequences per program, scaled so a tile's qkv block (+ dqkv in the
+    backward) stays within the ~16MB VMEM budget at any L: ~256 rows/tile.
+    L=18 -> 8 (flagship), L=128 -> 2 (lm-trial)."""
+    return max(1, min(_TILE_N, 256 // L))
 
-    part: 0=q, 1=k, 2=v. Returns list of [TN, L, dh] fp32 arrays.
-    """
+
+def _head(block, H: int, dh: int, TN: int, L: int, part: int, h: int):
+    """Slice ONE head tensor out of a [TN*L, 3D] qkv block (lazily, inside
+    the head loop — pre-materializing all 3H heads blows the kernel's
+    scoped-VMEM stack at larger L). part: 0=q, 1=k, 2=v. [TN, L, dh]."""
     D = H * dh
-    out = []
-    for h in range(H):
-        col = part * D + h * dh
-        out.append(block[:, col : col + dh].reshape(TN, L, dh).astype(jnp.float32))
-    return out
+    col = part * D + h * dh
+    return block[:, col : col + dh].reshape(TN, L, dh)
 
 
 def _dropout_bits(shape, keep_scale, rate):
@@ -60,16 +63,16 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]
-    mask = mask_ref[:]  # [TN, L]
-    qs = _heads(qkv, H, dh, TN, L, 0)
-    ks = _heads(qkv, H, dh, TN, L, 1)
-    vs = _heads(qkv, H, dh, TN, L, 2)
+    mask = mask_ref[:, 0].reshape(TN, L)  # delivered as [TN*L, 1]
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     neg = jnp.float32(-1e30)
     for h in range(H):
+        q_h = _head(qkv, H, dh, TN, L, 0, h)
+        k_h = _head(qkv, H, dh, TN, L, 1, h)
+        v_h = _head(qkv, H, dh, TN, L, 2, h)
         s = jax.lax.dot_general(
-            qs[h], ks[h], (((2,), (2,)), ((0,), (0,))),
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # [TN, L, L]
         s = jnp.where(mask[:, None, :] > 0, s, neg)
@@ -79,7 +82,7 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
         if rate > 0:
             p = p * _dropout_bits(p.shape, keep_scale, rate)
         o = jax.lax.dot_general(
-            p, vs[h], (((2,), (1,)), ((0,), (0,))),
+            p.astype(qkv.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L, dh]
         out_ref[:, h * dh : (h + 1) * dh] = o.reshape(TN * L, dh).astype(
@@ -96,18 +99,18 @@ def _bwd_kernel(
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]
-    mask = mask_ref[:]
+    mask = mask_ref[:, 0].reshape(TN, L)  # delivered as [TN*L, 1]
     dout = dout_ref[:]
-    qs = _heads(qkv, H, dh, TN, L, 0)
-    ks = _heads(qkv, H, dh, TN, L, 1)
-    vs = _heads(qkv, H, dh, TN, L, 2)
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     neg = jnp.float32(-1e30)
     D = H * dh
     for h in range(H):
+        q_h = _head(qkv, H, dh, TN, L, 0, h)
+        k_h = _head(qkv, H, dh, TN, L, 1, h)
+        v_h = _head(qkv, H, dh, TN, L, 2, h)
         s = jax.lax.dot_general(
-            qs[h], ks[h], (((2,), (2,)), ((0,), (0,))),
+            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale
         s = jnp.where(mask[:, None, :] > 0, s, neg)
@@ -121,17 +124,15 @@ def _bwd_kernel(
         else:
             drop = None
             pd = p
-        do_h = (
-            dout[:, h * dh : (h + 1) * dh].reshape(TN, L, dh).astype(jnp.float32)
-        )
+        do_h = dout[:, h * dh : (h + 1) * dh].reshape(TN, L, dh)
         # dv = pd^T @ do
         dv = jax.lax.dot_general(
-            pd, do_h, (((1,), (1,)), ((0,), (0,))),
+            pd.astype(dout.dtype), do_h, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L(keys), dh]
         # dpd = do @ v^T
         dpd = jax.lax.dot_general(
-            do_h, vs[h], (((2,), (2,)), ((0,), (0,))),
+            do_h, v_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L, L]
         if drop is not None:
@@ -142,12 +143,13 @@ def _bwd_kernel(
         ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
         ds = ds * scale
         # masked keys contributed 0 probability => ds already 0 there
+        ds = ds.astype(qkv.dtype)
         dq = jax.lax.dot_general(
-            ds, ks[h], (((2,), (1,)), ((0,), (0,))),
+            ds, k_h, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L, dh]
         dk = jax.lax.dot_general(
-            ds, qs[h], (((1,), (1,)), ((0,), (0,))),
+            ds, q_h, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L(keys), dh]
         dqkv_ref[:, h * dh : (h + 1) * dh] = dq.reshape(TN * L, dh).astype(
@@ -166,7 +168,7 @@ def _pallas_fwd(qkv, mask, seed, *, H, dh, L, rate, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     N = mask.shape[0]
-    TN = _TILE_N
+    TN = _tile_n(L)
     grid = (N // TN,)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, dh=dh, TN=TN, L=L, rate=rate),
@@ -174,14 +176,14 @@ def _pallas_fwd(qkv, mask, seed, *, H, dh, L, rate, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN * L, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (TN * L, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qkv, mask.astype(jnp.float32), seed)
+    )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed)
 
 
 def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
@@ -189,7 +191,7 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     N = mask.shape[0]
-    TN = _TILE_N
+    TN = _tile_n(L)
     grid = (N // TN,)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, H=H, dh=dh, TN=TN, L=L, rate=rate),
@@ -197,7 +199,7 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN * L, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TN * L, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -205,7 +207,7 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
             (TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qkv, mask.astype(jnp.float32), seed, dout)
+    )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed, dout)
 
 
 # ---------------------------------------------------------------------------
@@ -285,6 +287,12 @@ def attention_core(
     D3 = qkv.shape[-1]
     dh = D3 // 3 // n_heads
     L = seq_len
+    # The kernel targets the reference's short-sequence regime (its win was
+    # measured at L=18). At larger L the unrolled-head kernel's Mosaic
+    # compile time explodes (tens of minutes at L=128 on the remote
+    # compiler) for no expected gain — XLA handles long-L attention fine.
+    if L > 32:
+        force_xla = True
     if (interpret or on_tpu()) and not force_xla:
         if dropout_rate > 0:
             if dropout_rng is None:
@@ -298,7 +306,7 @@ def attention_core(
         # to the tile multiple (fully-masked pad rows, sliced off after).
         N = mask.shape[0]
         rows = qkv.shape[0]
-        pad = (-N) % _TILE_N
+        pad = (-N) % _tile_n(L)
         if pad:
             qkv = jnp.concatenate(
                 [qkv, jnp.zeros((pad * L, D3), qkv.dtype)], axis=0
