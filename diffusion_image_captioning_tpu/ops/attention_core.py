@@ -38,13 +38,24 @@ def _tile_n(L: int) -> int:
     return max(1, min(_TILE_N, 256 // L))
 
 
-def _head(block, H: int, dh: int, TN: int, L: int, part: int, h: int):
-    """Slice ONE head tensor out of a [TN*L, 3D] qkv block (lazily, inside
-    the head loop — pre-materializing all 3H heads blows the kernel's
-    scoped-VMEM stack at larger L). part: 0=q, 1=k, 2=v. [TN, L, dh]."""
+def _heads(block, H: int, dh: int, TN: int, L: int, part: int):
+    """Slice all H head tensors of one part out of a [TN*L, 3D] qkv block,
+    cast to fp32 eagerly. part: 0=q, 1=k, 2=v. List of [TN, L, dh] fp32.
+
+    NOTE (Mosaic hazard, verified on the v5e remote compiler 2026-08-16):
+    slicing lazily in input dtype — bf16 [TN*L, dh] -> [TN, L, dh] reshapes
+    inside the head loop combined with a [TN*L, 1] mask delivery — makes the
+    Mosaic compile HANG (>9 min, vs ~1-3 min for this form). Eager fp32
+    slicing is safe here because L>32 routes to XLA (attention_core below),
+    so the per-head working set is bounded: 3H fp32 [TN, L<=32, 64] tensors
+    = <2.5 MB. Do not "optimize" this back to lazy/bf16 without re-verifying
+    a real-TPU compile."""
     D = H * dh
-    col = part * D + h * dh
-    return block[:, col : col + dh].reshape(TN, L, dh)
+    out = []
+    for h in range(H):
+        col = part * D + h * dh
+        out.append(block[:, col : col + dh].reshape(TN, L, dh).astype(jnp.float32))
+    return out
 
 
 def _dropout_bits(shape, keep_scale, rate):
@@ -63,16 +74,16 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]
-    mask = mask_ref[:, 0].reshape(TN, L)  # delivered as [TN*L, 1]
+    mask = mask_ref[:]  # [TN, L]
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     neg = jnp.float32(-1e30)
+    qs = _heads(qkv, H, dh, TN, L, 0)
+    ks = _heads(qkv, H, dh, TN, L, 1)
+    vs = _heads(qkv, H, dh, TN, L, 2)
     for h in range(H):
-        q_h = _head(qkv, H, dh, TN, L, 0, h)
-        k_h = _head(qkv, H, dh, TN, L, 1, h)
-        v_h = _head(qkv, H, dh, TN, L, 2, h)
         s = jax.lax.dot_general(
-            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
+            qs[h], ks[h], (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ) * scale  # [TN, L, L]
         s = jnp.where(mask[:, None, :] > 0, s, neg)
@@ -82,7 +93,7 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
         if rate > 0:
             p = p * _dropout_bits(p.shape, keep_scale, rate)
         o = jax.lax.dot_general(
-            p.astype(qkv.dtype), v_h, (((2,), (1,)), ((0,), (0,))),
+            p, vs[h], (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L, dh]
         out_ref[:, h * dh : (h + 1) * dh] = o.reshape(TN * L, dh).astype(
@@ -99,16 +110,17 @@ def _bwd_kernel(
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]
-    mask = mask_ref[:, 0].reshape(TN, L)  # delivered as [TN*L, 1]
+    mask = mask_ref[:]  # [TN, L]
     dout = dout_ref[:]
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     neg = jnp.float32(-1e30)
     D = H * dh
+    qs = _heads(qkv, H, dh, TN, L, 0)
+    ks = _heads(qkv, H, dh, TN, L, 1)
+    vs = _heads(qkv, H, dh, TN, L, 2)
     for h in range(H):
-        q_h = _head(qkv, H, dh, TN, L, 0, h)
-        k_h = _head(qkv, H, dh, TN, L, 1, h)
-        v_h = _head(qkv, H, dh, TN, L, 2, h)
+        q_h, k_h, v_h = qs[h], ks[h], vs[h]
         s = jax.lax.dot_general(
             q_h, k_h, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -124,10 +136,12 @@ def _bwd_kernel(
         else:
             drop = None
             pd = p
-        do_h = dout[:, h * dh : (h + 1) * dh].reshape(TN, L, dh)
+        do_h = dout[:, h * dh : (h + 1) * dh].reshape(TN, L, dh).astype(
+            jnp.float32
+        )
         # dv = pd^T @ do
         dv = jax.lax.dot_general(
-            pd.astype(dout.dtype), do_h, (((1,), (1,)), ((0,), (0,))),
+            pd, do_h, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )  # [TN, L(keys), dh]
         # dpd = do @ v^T
@@ -176,14 +190,14 @@ def _pallas_fwd(qkv, mask, seed, *, H, dh, L, rate, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN * L, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (TN * L, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed)
+    )(qkv, mask.astype(jnp.float32), seed)
 
 
 def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
@@ -199,7 +213,7 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN * L, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TN, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TN * L, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -207,7 +221,7 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
             (TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed, dout)
+    )(qkv, mask.astype(jnp.float32), seed, dout)
 
 
 # ---------------------------------------------------------------------------

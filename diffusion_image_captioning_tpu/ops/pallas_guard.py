@@ -1,0 +1,110 @@
+"""Compile-watchdog for the Pallas attention kernel.
+
+The remote Mosaic compiler serving this environment has been observed to
+HANG (not error) on certain kernel forms — e.g. the 2026-08-16 lazy-slicing
+variant of ops/attention_core.py never returned from compilation (>9 min)
+while the current form compiles in ~1-3 min. A hang inside `bench.py` or a
+training run is unrecoverable in-process: the XLA/Mosaic compile is a C++
+call that cannot be interrupted from Python.
+
+``attention_kernel_ok()`` therefore compile-checks the kernel in a child
+process under a hard timeout before any long-lived program commits to the
+Pallas path. The child shares the persistent compile cache (.jax_cache), so
+once the kernel has compiled successfully the probe costs seconds.
+
+The result is also memoized per-process, and can be forced either way with
+DIC_ATTENTION_BACKEND={pallas,xla} for debugging.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from typing import Optional
+
+_PROBE = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+from diffusion_image_captioning_tpu.ops.attention_core import attention_core
+L = {seq_len}
+qkv = jnp.zeros((8 * L, 3 * {n_heads} * {head_dim}), jnp.bfloat16)
+mask = jnp.ones((8, L), jnp.float32)
+out = jax.jit(
+    lambda q: attention_core(q, mask, n_heads={n_heads}, seq_len=L)
+)(qkv)
+g = jax.jit(jax.grad(lambda q: attention_core(
+    q, mask, n_heads={n_heads}, seq_len=L).astype(jnp.float32).sum()))(qkv)
+jax.block_until_ready((out, g))
+print("PALLAS_ATTENTION_OK")
+"""
+
+_cached: Optional[bool] = None
+
+
+def _repo_root() -> str:
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def attention_kernel_ok(
+    *,
+    seq_len: int = 18,
+    n_heads: int = 12,
+    head_dim: int = 64,
+    timeout_s: float = 600.0,
+    verbose: bool = True,
+) -> bool:
+    """True iff the Pallas attention kernel compiles AND runs (fwd+bwd)
+    within ``timeout_s`` in a sacrificial child process."""
+    global _cached
+    forced = os.environ.get("DIC_ATTENTION_BACKEND", "").lower()
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    if _cached is not None:
+        return _cached
+
+    import jax
+
+    if not any(d.platform in ("tpu", "axon") for d in jax.devices()):
+        _cached = True  # off-TPU the kernel is the XLA fallback anyway
+        return _cached
+
+    repo = _repo_root()
+    code = _PROBE.format(
+        repo=repo,
+        cache=os.path.join(repo, ".jax_cache"),
+        seq_len=seq_len,
+        n_heads=n_heads,
+        head_dim=head_dim,
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        ok = proc.returncode == 0 and "PALLAS_ATTENTION_OK" in proc.stdout
+        if not ok and verbose:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print(
+                "[pallas_guard] attention kernel probe FAILED "
+                f"(rc={proc.returncode}): {' | '.join(tail)}",
+                file=sys.stderr,
+            )
+    except subprocess.TimeoutExpired:
+        ok = False
+        if verbose:
+            print(
+                f"[pallas_guard] attention kernel compile exceeded "
+                f"{timeout_s:.0f}s — falling back to XLA attention",
+                file=sys.stderr,
+            )
+    _cached = ok
+    return ok

@@ -51,6 +51,13 @@ def main() -> None:
     assert args.ckpt_name == model_name(cfg), (
         f"checkpoint name {args.ckpt_name!r} != config codec {model_name(cfg)!r}"
     )
+    if cfg.use_pallas_attention:
+        from diffusion_image_captioning_tpu.ops.pallas_guard import (
+            attention_kernel_ok,
+        )
+
+        if not attention_kernel_ok(seq_len=cfg.max_length + 2):
+            cfg = cfg.replace(use_pallas_attention=False)
     model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
     params = tr.merge_params(state.trainable, state.frozen)
     tokenizer = build_tokenizer(cfg, [], args.assets_dir)

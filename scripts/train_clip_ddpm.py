@@ -59,6 +59,16 @@ def main() -> None:
     args = p.parse_args()
     cfg = config_from_args(args)
 
+    if cfg.use_pallas_attention:
+        # Guard against remote-Mosaic compile hangs (see ops/pallas_guard.py):
+        # a training run must never wedge inside an uninterruptible compile.
+        from diffusion_image_captioning_tpu.ops.pallas_guard import (
+            attention_kernel_ok,
+        )
+
+        if not attention_kernel_ok(seq_len=cfg.max_length + 2):
+            cfg = cfg.replace(use_pallas_attention=False)
+
     if args.debug_nans:
         from diffusion_image_captioning_tpu.utils.profiling import debug_nans
 

@@ -115,3 +115,25 @@ class TestPallasAttention:
         ref = mha_reference(q, k, v, mask)
         got = fused_attention(q, k, v, mask, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestPallasGuard:
+    """ops/pallas_guard.py: env override + off-TPU short-circuit."""
+
+    def test_env_forced(self, monkeypatch):
+        from diffusion_image_captioning_tpu.ops import pallas_guard as pg
+
+        monkeypatch.setattr(pg, "_cached", None)
+        monkeypatch.setenv("DIC_ATTENTION_BACKEND", "xla")
+        assert pg.attention_kernel_ok() is False
+        monkeypatch.setenv("DIC_ATTENTION_BACKEND", "pallas")
+        assert pg.attention_kernel_ok() is True
+
+    def test_off_tpu_true_and_memoized(self, monkeypatch):
+        from diffusion_image_captioning_tpu.ops import pallas_guard as pg
+
+        monkeypatch.delenv("DIC_ATTENTION_BACKEND", raising=False)
+        monkeypatch.setattr(pg, "_cached", None)
+        # CPU backend (conftest forces it): no subprocess probe, trivially OK
+        assert pg.attention_kernel_ok() is True
+        assert pg._cached is True
