@@ -37,9 +37,13 @@ def quick_gelu(x):
 
 
 class CLIPVitBlock(nn.Module):
+    """Pre-LN CLIP transformer block; ``causal=True`` gives the text tower's
+    autoregressive masking (vision uses full attention)."""
+
     width: int
     heads: int
     dtype: Dtype = jnp.bfloat16
+    causal: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -50,8 +54,19 @@ class CLIPVitBlock(nn.Module):
         k = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="k_proj")(h)
         v = nn.Dense(self.width, dtype=self.dtype, param_dtype=jnp.float32, name="v_proj")(h)
         reshape = lambda t: t.reshape(N, L, self.heads, dh).transpose(0, 2, 1, 3)  # noqa: E731
-        ones = jnp.ones((N, L), jnp.float32)
-        attn = mha_reference(reshape(q), reshape(k), reshape(v), ones)
+        if self.causal:
+            qh, kh, vh = reshape(q), reshape(k), reshape(v)
+            scores = jnp.einsum("nhqd,nhkd->nhqk", qh, kh) / jnp.sqrt(dh).astype(
+                qh.dtype
+            )
+            neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+            causal = jnp.tril(jnp.ones((L, L), bool))
+            scores = jnp.where(causal[None, None], scores.astype(jnp.float32), neg)
+            weights = nn.softmax(scores, axis=-1).astype(qh.dtype)
+            attn = jnp.einsum("nhqk,nhkd->nhqd", weights, vh)
+        else:
+            ones = jnp.ones((N, L), jnp.float32)
+            attn = mha_reference(reshape(q), reshape(k), reshape(v), ones)
         attn = attn.transpose(0, 2, 1, 3).reshape(N, L, self.width)
         x = x + nn.Dense(
             self.width, dtype=self.dtype, param_dtype=jnp.float32, name="out_proj"
@@ -118,6 +133,73 @@ class CLIPVisionEncoder(nn.Module):
             jnp.float32,
         )
         feats = cls_out.astype(jnp.float32) @ proj
+        if normalize:
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        return feats
+
+
+class CLIPTextEncoder(nn.Module):
+    """CLIP ViT-B/32 text tower: token ids [B, L] -> [B, embed_dim].
+
+    The reference consumes precomputed text CLIP features at train time
+    (text_all_final.pickle, CLIP-DDPM.py:124-126) produced off-pipeline by
+    its companion feature-extraction repo. This is the on-device equivalent:
+    token+positional embeddings -> 12 pre-LN CAUSAL blocks (width 512,
+    8 heads, QuickGELU) -> ln_final -> features taken at the EOT position
+    (the argmax token id, as in Radford et al. 2021) -> 512->512 projection
+    (no bias) -> optional L2 normalization.
+
+    Weights convert from a local HF ``openai/clip-vit-base-patch32`` via
+    ``models.hf_convert.convert_clip_text``; tokenization via
+    ``data.clip_bpe.CLIPBPETokenizer``.
+    """
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 512
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
+        B, L = ids.shape
+        tok = self.param(
+            "token_embedding",
+            initializers.normal(0.02),
+            (self.vocab_size, self.width),
+            jnp.float32,
+        )
+        pos = self.param(
+            "positional_embedding",
+            initializers.normal(0.01),
+            (self.context_length, self.width),
+            jnp.float32,
+        )
+        x = tok[ids].astype(self.dtype) + pos[:L].astype(self.dtype)[None]
+        for i in range(self.layers):
+            x = CLIPVitBlock(
+                width=self.width,
+                heads=self.heads,
+                dtype=self.dtype,
+                causal=True,
+                name=f"block_{i}",
+            )(x)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name="ln_final"
+        )(x)
+        # EOT pooling: the end-of-text token carries the highest id in the
+        # CLIP vocabulary, so argmax over ids finds its position.
+        eot = jnp.argmax(ids, axis=-1)
+        pooled = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+        proj = self.param(
+            "text_projection",
+            initializers.normal(self.width ** -0.5),
+            (self.width, self.embed_dim),
+            jnp.float32,
+        )
+        feats = pooled.astype(jnp.float32) @ proj
         if normalize:
             feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
         return feats

@@ -160,6 +160,44 @@ def convert_clip_vision(model_dir: str, layers: int = 12) -> dict:
     return out
 
 
+def convert_clip_text(model_dir: str, layers: int = 12) -> dict:
+    """HF CLIPModel text tower -> models/clip.py CLIPTextEncoder flat
+    params (token/pos embeddings, causal pre-LN blocks, ln_final,
+    text_projection)."""
+    from transformers import CLIPModel  # lazy
+
+    m = CLIPModel.from_pretrained(model_dir, local_files_only=True)
+    sd = m.state_dict()
+    t = "text_model"
+    out: dict = {
+        ("token_embedding",): _np(sd[f"{t}.embeddings.token_embedding.weight"]),
+        ("positional_embedding",): _np(
+            sd[f"{t}.embeddings.position_embedding.weight"]
+        ),
+        ("ln_final", "scale"): _np(sd[f"{t}.final_layer_norm.weight"]),
+        ("ln_final", "bias"): _np(sd[f"{t}.final_layer_norm.bias"]),
+        ("text_projection",): _np(sd["text_projection.weight"]).T,
+    }
+    for i in range(layers):
+        hf = f"{t}.encoder.layers.{i}"
+        blk = f"block_{i}"
+        pairs = (
+            ("q_proj", "self_attn.q_proj"),
+            ("k_proj", "self_attn.k_proj"),
+            ("v_proj", "self_attn.v_proj"),
+            ("out_proj", "self_attn.out_proj"),
+            ("mlp_fc", "mlp.fc1"),
+            ("mlp_proj", "mlp.fc2"),
+        )
+        for ours, theirs in pairs:
+            out[(blk, ours, "kernel")] = _np(sd[f"{hf}.{theirs}.weight"]).T
+            out[(blk, ours, "bias")] = _np(sd[f"{hf}.{theirs}.bias"])
+        for ours, theirs in (("ln_1", "layer_norm1"), ("ln_2", "layer_norm2")):
+            out[(blk, ours, "scale")] = _np(sd[f"{hf}.{theirs}.weight"])
+            out[(blk, ours, "bias")] = _np(sd[f"{hf}.{theirs}.bias"])
+    return out
+
+
 def save_model_tokenizer(name: str, models_dir: str = "./models", tokenizers_dir: str = "./tokenizers"):
     """Pretrained-asset fetcher (reference: CLIP-DDPM.py:40-50) — downloads
     and saves an HF model + tokenizer locally. Requires network access."""
