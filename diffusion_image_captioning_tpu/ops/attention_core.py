@@ -3,10 +3,20 @@
 Motivation (docs/PERF.md): at L=18, dh=64 the XLA attention path pays
 ~11 ms fwd per step in head transposes and 3.5x-padded per-head tiles —
 half the encoder forward — despite negligible FLOPs. This kernel consumes
-the fused QKV projection's natural [N*L, 3D] layout, computes all heads'
+the fused QKV projection's natural [N*L, 3D] layout and computes all heads'
 scaled-dot-product attention entirely in VMEM (one HBM read of qkv, one
-HBM write of the context), and defines a recompute-based backward, so it
-serves the TRAINING path too.
+HBM write of the context), with a recompute-based backward for training.
+
+Kernel design (v2, "block-diagonal flat attention"): a tile holds TN
+sequences = R = TN*L flat rows. Per head, Q/K/V are plain 2-D [R, dh]
+column slices and attention is ONE [R, R] score matmul masked down to the
+block-diagonal (rows and columns of different sequences can't attend),
+followed by softmax and a [R, R] @ [R, dh] context matmul. Off-block
+entries cost extra MXU flops that are ~free at these sizes, and the kernel
+never materializes a 3-D [TN, L, dh] view — every operand is 2-D, which
+both Mosaic-compiles quickly (the 3-D reshape form took 40-400 s, and a
+bf16 variant of it HUNG the remote compiler — see git 62997a4) and runs
+~4x faster (docs/PERF.md).
 
 Attention dropout (HF DistilBERT applies dropout to the softmax weights)
 runs in-kernel via the TPU PRNG: the mask is a pure function of
@@ -28,34 +38,20 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_TILE_N = 8  # max sequences per program (808 = 101 x 8 at flagship size)
+_TILE_ROWS = 360  # per-program flat rows; see _tile_n
 
 
 def _tile_n(L: int) -> int:
-    """Sequences per program, scaled so a tile's qkv block (+ dqkv in the
-    backward) stays within the ~16MB VMEM budget at any L: ~256 rows/tile.
-    L=18 -> 8 (flagship), L=128 -> 2 (lm-trial)."""
-    return max(1, min(_TILE_N, 256 // L))
-
-
-def _heads(block, H: int, dh: int, TN: int, L: int, part: int):
-    """Slice all H head tensors of one part out of a [TN*L, 3D] qkv block,
-    cast to fp32 eagerly. part: 0=q, 1=k, 2=v. List of [TN, L, dh] fp32.
-
-    NOTE (Mosaic hazard, verified on the v5e remote compiler 2026-08-16):
-    slicing lazily in input dtype — bf16 [TN*L, dh] -> [TN, L, dh] reshapes
-    inside the head loop combined with a [TN*L, 1] mask delivery — makes the
-    Mosaic compile HANG (>9 min, vs ~1-3 min for this form). Eager fp32
-    slicing is safe here because L>32 routes to XLA (attention_core below),
-    so the per-head working set is bounded: 3H fp32 [TN, L<=32, 64] tensors
-    = <2.5 MB. Do not "optimize" this back to lazy/bf16 without re-verifying
-    a real-TPU compile."""
-    D = H * dh
-    out = []
-    for h in range(H):
-        col = part * D + h * dh
-        out.append(block[:, col : col + dh].reshape(TN, L, dh).astype(jnp.float32))
-    return out
+    """Sequences per program: R = TN*L flat rows, kept 8-sublane-divisible.
+    Measured on v5e at L=18: R=288 fwd 1.48 ms / fwd+bwd 2.20; R=432
+    1.04 / 2.14 standalone but its backward's 16.26 MB scoped VMEM OOMs
+    inside the full train-step jit (limit 16 MB); R=576 OOMs standalone
+    (22.2 MB). R=360 is the largest tile that fits everywhere.
+    L=18 -> TN=20 (R=360); L=128 -> TN=2 (R=256)."""
+    TN = max(1, _TILE_ROWS // L)
+    while TN > 1 and (TN * L) % 8:
+        TN -= 1
+    return TN
 
 
 def _dropout_bits(shape, keep_scale, rate):
@@ -67,38 +63,66 @@ def _dropout_bits(shape, keep_scale, rate):
     return jnp.where(bits >= thresh, keep_scale, 0.0)
 
 
+def _block_mask(kcol, R: int, L: int):
+    """allowed[r, c] = same-sequence(r, c) AND key c not padding.
+
+    kcol: [R, 1] fp32 key-padding column (1 = attend). The per-COLUMN
+    broadcast of a column vector is produced by a rank-1 MXU matmul
+    (ones @ kcol^T) — a [1, R] lane-oriented delivery isn't a legal
+    TPU block (lanes must divide 128), and in-kernel transposes/reshapes
+    of the mask are exactly the forms that destabilized the Mosaic
+    compile (git 62997a4)."""
+    rseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // L
+    cseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
+    key_ok = _dot(jnp.ones((R, 1), jnp.float32), kcol, _T)  # [R, R] = kcol[c]
+    return (rseq == cseq) & (key_ok > 0.0)
+
+
+def _head_cols(flat, H: int, dh: int, part: int, h: int):
+    """2-D [R, dh] fp32 slice of one head's q/k/v out of [R, 3D]."""
+    col = part * H * dh + h * dh
+    return flat[:, col : col + dh].astype(jnp.float32)
+
+
+_T = (((1,), (1,)), ((), ()))  # a @ b.T
+_NT = (((0,), (0,)), ((), ()))  # a.T @ b
+_NN = (((1,), (0,)), ((), ()))  # a @ b
+
+
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+def _softmax_block(qkv, kcol, H, dh, R, L, h, scale):
+    """Per-head masked softmax probabilities [R, R] (fp32) + (q, k, v)."""
+    q_h = _head_cols(qkv, H, dh, 0, h)
+    k_h = _head_cols(qkv, H, dh, 1, h)
+    v_h = _head_cols(qkv, H, dh, 2, h)
+    s = _dot(q_h, k_h, _T) * scale  # [R, R]
+    s = jnp.where(_block_mask(kcol, R, L), s, jnp.float32(-1e30))
+    s = s - s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / e.sum(axis=-1, keepdims=True)
+    return p, q_h, k_h, v_h
+
+
 def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
     from jax.experimental.pallas import tpu as pltpu
     import jax.experimental.pallas as pl
 
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
-    qkv = qkv_ref[:]
-    mask = mask_ref[:]  # [TN, L]
+    qkv = qkv_ref[:]  # [R, 3D]
+    kcol = mask_ref[:]  # [R, 1]
+    R = TN * L
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
-    neg = jnp.float32(-1e30)
-    qs = _heads(qkv, H, dh, TN, L, 0)
-    ks = _heads(qkv, H, dh, TN, L, 1)
-    vs = _heads(qkv, H, dh, TN, L, 2)
     for h in range(H):
-        s = jax.lax.dot_general(
-            qs[h], ks[h], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [TN, L, L]
-        s = jnp.where(mask[:, None, :] > 0, s, neg)
-        s = s - s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / e.sum(axis=-1, keepdims=True)
+        p, _, _, v_h = _softmax_block(qkv, kcol, H, dh, R, L, h, scale)
         if rate > 0:
             p = p * _dropout_bits(p.shape, keep_scale, rate)
-        o = jax.lax.dot_general(
-            p, vs[h], (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TN, L, dh]
-        out_ref[:, h * dh : (h + 1) * dh] = o.reshape(TN * L, dh).astype(
-            out_ref.dtype
-        )
+        o = _dot(p, v_h, _NN)  # [R, dh]
+        out_ref[:, h * dh : (h + 1) * dh] = o.astype(out_ref.dtype)
 
 
 def _bwd_kernel(
@@ -110,71 +134,36 @@ def _bwd_kernel(
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]
-    mask = mask_ref[:]  # [TN, L]
+    kcol = mask_ref[:]
     dout = dout_ref[:]
+    R = TN * L
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
-    neg = jnp.float32(-1e30)
     D = H * dh
-    qs = _heads(qkv, H, dh, TN, L, 0)
-    ks = _heads(qkv, H, dh, TN, L, 1)
-    vs = _heads(qkv, H, dh, TN, L, 2)
     for h in range(H):
-        q_h, k_h, v_h = qs[h], ks[h], vs[h]
-        s = jax.lax.dot_general(
-            q_h, k_h, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        s = jnp.where(mask[:, None, :] > 0, s, neg)
-        s = s - s.max(axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / e.sum(axis=-1, keepdims=True)  # pre-dropout softmax
+        # identical PRNG stream order as the forward: one draw per head
+        p, q_h, k_h, v_h = _softmax_block(qkv, kcol, H, dh, R, L, h, scale)
         if rate > 0:
-            # identical PRNG stream order as the forward: one draw per head
             drop = _dropout_bits(p.shape, keep_scale, rate)
             pd = p * drop
         else:
             drop = None
             pd = p
-        do_h = dout[:, h * dh : (h + 1) * dh].reshape(TN, L, dh).astype(
-            jnp.float32
-        )
-        # dv = pd^T @ do
-        dv = jax.lax.dot_general(
-            pd, do_h, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TN, L(keys), dh]
-        # dpd = do @ v^T
-        dpd = jax.lax.dot_general(
-            do_h, v_h, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TN, L, L]
-        if drop is not None:
-            dp = dpd * drop
-        else:
-            dp = dpd
-        # softmax backward on the pre-dropout p
+        do_h = dout[:, h * dh : (h + 1) * dh].astype(jnp.float32)
+        dv = _dot(pd, do_h, _NT)  # [R(keys), dh]
+        dpd = _dot(do_h, v_h, _T)  # [R, R]
+        dp = dpd * drop if drop is not None else dpd
+        # softmax backward on the pre-dropout p; off-block entries have
+        # p == 0 so ds vanishes there — no re-masking needed.
         ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
         ds = ds * scale
-        # masked keys contributed 0 probability => ds already 0 there
-        ds = ds.astype(qkv.dtype)
-        dq = jax.lax.dot_general(
-            ds, k_h, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TN, L, dh]
-        dk = jax.lax.dot_general(
-            ds, q_h, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [TN, L(keys), dh]
-        dqkv_ref[:, h * dh : (h + 1) * dh] = dq.reshape(TN * L, dh).astype(
+        dq = _dot(ds, k_h, _NN)  # [R, dh]
+        dk = _dot(ds, q_h, _NT)  # [R(keys), dh]
+        dqkv_ref[:, h * dh : (h + 1) * dh] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[:, D + h * dh : D + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[:, 2 * D + h * dh : 2 * D + (h + 1) * dh] = dv.astype(
             dqkv_ref.dtype
         )
-        dqkv_ref[:, D + h * dh : D + (h + 1) * dh] = dk.reshape(TN * L, dh).astype(
-            dqkv_ref.dtype
-        )
-        dqkv_ref[:, 2 * D + h * dh : 2 * D + (h + 1) * dh] = dv.reshape(
-            TN * L, dh
-        ).astype(dqkv_ref.dtype)
 
 
 def _pallas_fwd(qkv, mask, seed, *, H, dh, L, rate, interpret):
@@ -183,21 +172,22 @@ def _pallas_fwd(qkv, mask, seed, *, H, dh, L, rate, interpret):
 
     N = mask.shape[0]
     TN = _tile_n(L)
+    R = TN * L
     grid = (N // TN,)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, H=H, dh=dh, TN=TN, L=L, rate=rate),
         out_shape=jax.ShapeDtypeStruct((N * L, H * dh), qkv.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TN * L, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (R, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qkv, mask.astype(jnp.float32), seed)
+    )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed)
 
 
 def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
@@ -206,22 +196,23 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
 
     N = mask.shape[0]
     TN = _tile_n(L)
+    R = TN * L
     grid = (N // TN,)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, H=H, dh=dh, TN=TN, L=L, rate=rate),
         out_shape=jax.ShapeDtypeStruct((N * L, 3 * H * dh), qkv.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TN, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TN * L, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TN * L, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (R, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(qkv, mask.astype(jnp.float32), seed, dout)
+    )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed, dout)
 
 
 # ---------------------------------------------------------------------------
@@ -302,9 +293,8 @@ def attention_core(
     dh = D3 // 3 // n_heads
     L = seq_len
     # The kernel targets the reference's short-sequence regime (its win was
-    # measured at L=18). At larger L the unrolled-head kernel's Mosaic
-    # compile time explodes (tens of minutes at L=128 on the remote
-    # compiler) for no expected gain — XLA handles long-L attention fine.
+    # measured at L=18). At larger L the [R, R] block-diagonal form wastes
+    # quadratically more work and XLA handles long-L attention fine.
     if L > 32:
         force_xla = True
     if (interpret or on_tpu()) and not force_xla:
@@ -316,8 +306,8 @@ def attention_core(
             )
         else:
             seed = jnp.zeros((1,), jnp.int32)
-        # Mosaic requires (8, 128)-divisible blocks: pad the sequence count
-        # to the tile multiple (fully-masked pad rows, sliced off after).
+        # Pad the sequence count to the tile multiple (fully-masked pad
+        # rows, sliced off after).
         N = mask.shape[0]
         rows = qkv.shape[0]
         pad = (-N) % _tile_n(L)
