@@ -100,8 +100,48 @@ class MultiHeadSelfAttention(nn.Module):
         )(out)
 
 
+class _DenseParams(nn.Module):
+    """Parameter holder matching nn.Dense's tree ({kernel, bias}, fp32) so
+    checkpoints and the HF converter see an unchanged layout while the
+    compute runs inside the fused FFN op (ops/ffn_block.py)."""
+
+    in_features: int
+    features: int
+    stddev: float
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            initializers.normal(self.stddev),
+            (self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", initializers.zeros, (self.features,), jnp.float32)
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """Parameter holder matching nn.LayerNorm's tree ({scale, bias}, fp32)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", initializers.zeros, (self.features,), jnp.float32)
+        return s, b
+
+
 class TransformerBlock(nn.Module):
-    """Post-LN block: LN(x + MHA(x)); LN(h + FFN(h)). HF DistilBERT layout."""
+    """Post-LN block: LN(x + MHA(x)); LN(h + FFN(h)). HF DistilBERT layout.
+
+    The FFN half (lin1 -> GELU -> lin2 -> dropout -> residual -> LN) runs
+    through ops/ffn_block.ffn_ln_block. The fused Pallas forward exists and
+    is verified, but measured SLOWER in the full train step than XLA's own
+    scheduling of the same chain (58.1 vs 53.3 ms/step on v5e — see
+    docs/PERF.md), so ``use_fused_ffn`` defaults to False and the call goes
+    through the op's XLA composition."""
 
     dim: int
     n_heads: int
@@ -112,13 +152,13 @@ class TransformerBlock(nn.Module):
     dtype: Dtype = jnp.bfloat16
     initializer_range: float = 0.02
     use_fused_core: bool = True
+    use_fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         """x: FLAT [N*L, D]; mask [N, L]. Output flat."""
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=self.layer_norm_eps, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )
+        from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
+
         attn_out = MultiHeadSelfAttention(
             dim=self.dim,
             n_heads=self.n_heads,
@@ -128,25 +168,29 @@ class TransformerBlock(nn.Module):
             use_fused_core=self.use_fused_core,
             name="attention",
         )(x, mask, deterministic)
-        x = ln("sa_layer_norm")(x + attn_out)
+        x = nn.LayerNorm(
+            epsilon=self.layer_norm_eps,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="sa_layer_norm",
+        )(x + attn_out)
 
-        h = nn.Dense(
-            self.hidden_dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=initializers.normal(self.initializer_range),
-            name="ffn_lin1",
-        )(x)
-        h = nn.gelu(h, approximate=False)
-        h = nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=initializers.normal(self.initializer_range),
-            name="ffn_lin2",
-        )(h)
-        h = nn.Dropout(rate=self.dropout)(h, deterministic=deterministic)
-        return ln("output_layer_norm")(x + h)
+        w1, b1 = _DenseParams(
+            self.dim, self.hidden_dim, self.initializer_range, name="ffn_lin1"
+        )()
+        w2, b2 = _DenseParams(
+            self.hidden_dim, self.dim, self.initializer_range, name="ffn_lin2"
+        )()
+        gamma, beta = _LayerNormParams(self.dim, name="output_layer_norm")()
+        rate = self.dropout if not deterministic else 0.0
+        rng = self.make_rng("dropout") if rate > 0 else None
+        return ffn_ln_block(
+            x, w1, b1, w2, b2, gamma, beta,
+            dropout_rate=rate,
+            dropout_rng=rng,
+            eps=self.layer_norm_eps,
+            force_xla=not self.use_fused_ffn,
+        )
 
 
 class DenoiserEncoder(nn.Module):

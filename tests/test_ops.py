@@ -137,3 +137,73 @@ class TestPallasGuard:
         # CPU backend (conftest forces it): no subprocess probe, trivially OK
         assert pg.attention_kernel_ok() is True
         assert pg._cached is True
+
+
+class TestFfnBlock:
+    """ops/ffn_block.py: fused FFN+LN vs the XLA oracle (interpret mode)."""
+
+    def _inputs(self, M=24, D=16, H4=32):
+        ks = jax.random.split(jax.random.PRNGKey(7), 8)
+        x = jax.random.normal(ks[0], (M, D))
+        w1 = jax.random.normal(ks[1], (D, H4)) * 0.2
+        b1 = jax.random.normal(ks[2], (H4,)) * 0.1
+        w2 = jax.random.normal(ks[3], (H4, D)) * 0.2
+        b2 = jax.random.normal(ks[4], (D,)) * 0.1
+        gamma = 1.0 + 0.1 * jax.random.normal(ks[5], (D,))
+        beta = 0.1 * jax.random.normal(ks[6], (D,))
+        return x, w1, b1, w2, b2, gamma, beta
+
+    def test_interpret_matches_xla(self):
+        from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
+
+        args = self._inputs()
+        ref = ffn_ln_block(*args, force_xla=True)
+        got = ffn_ln_block(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_rows_not_tile_divisible(self):
+        from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
+
+        args = self._inputs(M=13)
+        ref = ffn_ln_block(*args, force_xla=True)
+        got = ffn_ln_block(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_grads_match_xla_autodiff(self):
+        from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
+
+        args = self._inputs()
+
+        def loss(impl, *a):
+            out = ffn_ln_block(*a, **impl)
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        g_p = jax.grad(lambda *a: loss({"interpret": True}, *a), argnums=tuple(range(7)))(*args)
+        g_x = jax.grad(lambda *a: loss({"force_xla": True}, *a), argnums=tuple(range(7)))(*args)
+        for gp, gx, name in zip(
+            g_p, g_x, ["x", "w1", "b1", "w2", "b2", "gamma", "beta"]
+        ):
+            np.testing.assert_allclose(
+                np.asarray(gp), np.asarray(gx), atol=2e-4, err_msg=name
+            )
+
+    def test_dropout_zeroes_and_scales(self):
+        from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
+
+        args = self._inputs()
+        rng = jax.random.PRNGKey(3)
+        out = ffn_ln_block(
+            *args, dropout_rate=0.5, dropout_rng=rng, force_xla=True
+        )
+        # with a fixed rng the masked output must be deterministic
+        out2 = ffn_ln_block(
+            *args, dropout_rate=0.5, dropout_rng=rng, force_xla=True
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_requires_rng(self):
+        from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
+
+        args = self._inputs()
+        with pytest.raises(ValueError):
+            ffn_ln_block(*args, dropout_rate=0.1, force_xla=True)
