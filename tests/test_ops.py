@@ -207,3 +207,34 @@ class TestFfnBlock:
         args = self._inputs()
         with pytest.raises(ValueError):
             ffn_ln_block(*args, dropout_rate=0.1, force_xla=True)
+
+    @pytest.mark.skipif(
+        not __import__(
+            "diffusion_image_captioning_tpu.ops.ffn_block", fromlist=["on_tpu"]
+        ).on_tpu(),
+        reason="in-kernel TPU PRNG has no CPU interpret lowering",
+    )
+    def test_tpu_dropout_stream_matches_mask_kernel(self):
+        """The fused forward's in-kernel dropout must equal applying the
+        standalone mask kernel's mask in the XLA composition — this is the
+        exact property the XLA backward relies on (same (seed, 64-row
+        block) PRNG stream)."""
+        from diffusion_image_captioning_tpu.ops import ffn_block as fb
+
+        args = self._inputs(M=128, D=8, H4=16)
+        x = args[0].astype(jnp.bfloat16)
+        seed = jnp.array([1234], jnp.int32)
+        out, z, g = fb._pallas_fwd(
+            x, *args[1:], seed, rate=0.3, eps=1e-12, interpret=False
+        )
+        mask = fb._pallas_dropout_mask(
+            (128, 8), seed, rate=0.3, interpret=False
+        )
+        # reconstruct: z = x + mask * (lin2(gelu(lin1(x))))
+        h = fb._dot(x, args[1].astype(x.dtype), fb._NN) + args[2]
+        gg = fb._gelu_f32(h, fb._erf_approx).astype(x.dtype)
+        y = fb._dot(gg, args[3].astype(x.dtype), fb._NN) + args[4]
+        z_ref = x.astype(jnp.float32) + y * mask
+        np.testing.assert_allclose(
+            np.asarray(z), np.asarray(z_ref), atol=1e-2
+        )
