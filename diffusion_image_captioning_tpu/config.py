@@ -124,6 +124,9 @@ class Config:
     stable_rounding_loss: bool = True  # log-softmax instead of the reference's
     # numerically naive softmax().log() (CLIP-DDPM.py:436-440).
     use_pallas_attention: bool = True  # fused attention kernel on TPU
+    use_pallas_ffn: bool = False  # fused FFN fwd kernel: measured slower than
+    # XLA's scheduling of the same chain in the full step (docs/PERF.md);
+    # kept available for A/B on other shapes/hardware
     use_fused_rounding_loss: bool = True  # streamed vocab-CE kernel on TPU
     remat_denoiser: bool = False       # jax.checkpoint over encoder blocks
     fast_dropout_rng: bool = True      # rbg PRNG for dropout masks: the

@@ -60,6 +60,7 @@ class CLIPDiffusionLM(nn.Module):
             initializer_range=cfg.initializer_range,
             dtype=dtype,
             use_fused_core=cfg.use_pallas_attention,
+            use_fused_ffn=cfg.use_pallas_ffn,
             remat=cfg.remat_denoiser,
             name="encoder",
         )

@@ -212,6 +212,7 @@ class DenoiserEncoder(nn.Module):
     initializer_range: float = 0.02
     dtype: Dtype = jnp.bfloat16
     use_fused_core: bool = True
+    use_fused_ffn: bool = False
     remat: bool = False
 
     @nn.compact
@@ -254,6 +255,7 @@ class DenoiserEncoder(nn.Module):
                 dtype=self.dtype,
                 initializer_range=self.initializer_range,
                 use_fused_core=self.use_fused_core,
+                use_fused_ffn=self.use_fused_ffn,
                 name=f"layer_{i}",
             )(x, mask, deterministic)
 

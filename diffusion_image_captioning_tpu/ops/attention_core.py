@@ -38,6 +38,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from diffusion_image_captioning_tpu.ops.common import (
+    DIMS_AB, DIMS_ABT, DIMS_ATB, dot_f32 as _dot,
+    dropout_bits as _dropout_bits, on_tpu,
+)
+
 _TILE_ROWS = 360  # per-program flat rows; see _tile_n
 
 
@@ -54,13 +59,6 @@ def _tile_n(L: int) -> int:
     return TN
 
 
-def _dropout_bits(shape, keep_scale, rate):
-    """Regenerable dropout mask from the seeded in-kernel PRNG."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    thresh = jnp.uint32(int(rate * (2**32)))
-    return jnp.where(bits >= thresh, keep_scale, 0.0)
 
 
 def _score_bias(kcol, R: int, L: int):
@@ -77,7 +75,7 @@ def _score_bias(kcol, R: int, L: int):
     compile (git 62997a4)."""
     rseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // L
     cseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
-    key_ok = _dot(jnp.ones((R, 1), jnp.float32), kcol, _T)  # [R, R] = kcol[c]
+    key_ok = _dot(jnp.ones((R, 1), jnp.float32), kcol, DIMS_ABT)  # [R, R] = kcol[c]
     allowed = (rseq == cseq) & (key_ok > 0.0)
     return jnp.where(allowed, jnp.float32(0.0), jnp.float32(-1e30))
 
@@ -92,13 +90,6 @@ def _head_cols(flat, H: int, dh: int, part: int, h: int):
     return flat[:, col : col + dh]
 
 
-_T = (((1,), (1,)), ((), ()))  # a @ b.T
-_NT = (((0,), (0,)), ((), ()))  # a.T @ b
-_NN = (((1,), (0,)), ((), ()))  # a @ b
-
-
-def _dot(a, b, dims):
-    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
 
 
 def _softmax_block(qkv, bias, H, dh, h, scale):
@@ -110,20 +101,20 @@ def _softmax_block(qkv, bias, H, dh, h, scale):
     q_h = _head_cols(qkv, H, dh, 0, h)
     k_h = _head_cols(qkv, H, dh, 1, h)
     v_h = _head_cols(qkv, H, dh, 2, h)
-    s = _dot(q_h * jnp.asarray(scale, q_h.dtype), k_h, _T) + bias  # [R, R]
-    # No max-subtraction: every row's block contains its self-score
-    # q.q/sqrt(dh) >= 0 (assuming >=1 unmasked key per sequence, which the
-    # tokenizer guarantees via [CLS]), so the softmax denominator is >= 1
-    # and exp never underflows to a 0/0. The clamp bounds the numerator:
-    # R * e^80 ~ 2e37 stays inside fp32, and real scores never reach 80.
-    # Dropping the max pass removes a sequential lane reduction plus a
-    # subtract over [R, R] per head — the kernel is VPU-bound on exactly
-    # these passes (docs/PERF.md).
-    e = jnp.exp(jnp.minimum(s, jnp.float32(80.0)))
+    s = _dot(q_h * jnp.asarray(scale, q_h.dtype), k_h, DIMS_ABT) + bias  # [R, R]
+    # Standard max-subtracted softmax. (A clamp-instead-of-max variant was
+    # tried and REVERTED: the diagonal score is q.k of the same token —
+    # not q.q — so no lower bound on the row max exists, and a row whose
+    # valid scores all underflow exp() would silently emit zero context
+    # and zero gradients. The max pass costs nothing measurable at step
+    # level; docs/PERF.md.)
+    s = s - s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s)
     # The 1e-37 floor only matters for FULLY-masked rows (the wrapper's
-    # tile-padding sequences): they get p = 0 exactly, instead of the NaN
-    # that would otherwise leak into dv/dk (column-wise reductions mix tile
-    # rows, and NaN * 0 = NaN).
+    # tile-padding sequences, whose every score is the -1e30 bias): their
+    # e.sum() is still R after max-subtraction, so real rows never see the
+    # floor; it is defense-in-depth against a 0/0 -> NaN leaking into
+    # dv/dk through the tile's column-wise reductions (NaN * 0 = NaN).
     p = e / (e.sum(axis=-1, keepdims=True) + jnp.float32(1e-37))
     return p, q_h, k_h, v_h
 
@@ -143,7 +134,7 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
         p, _, _, v_h = _softmax_block(qkv, bias, H, dh, h, scale)
         if rate > 0:
             p = p * _dropout_bits(p.shape, keep_scale, rate)
-        o = _dot(p.astype(v_h.dtype), v_h, _NN)  # [R, dh]
+        o = _dot(p.astype(v_h.dtype), v_h, DIMS_AB)  # [R, dh]
         out_ref[:, h * dh : (h + 1) * dh] = o.astype(out_ref.dtype)
 
 
@@ -172,16 +163,16 @@ def _bwd_kernel(
             drop = None
             pd = p
         do_h = dout[:, h * dh : (h + 1) * dh]
-        dv = _dot(pd.astype(do_h.dtype), do_h, _NT)  # [R(keys), dh]
-        dpd = _dot(do_h, v_h, _T)  # [R, R] fp32
+        dv = _dot(pd.astype(do_h.dtype), do_h, DIMS_ATB)  # [R(keys), dh]
+        dpd = _dot(do_h, v_h, DIMS_ABT)  # [R, R] fp32
         dp = dpd * drop if drop is not None else dpd
         # softmax backward on the pre-dropout p; off-block entries have
         # p == 0 so ds vanishes there — no re-masking needed. The score
         # scale is applied to the [R, dh] results, not the [R, R] ds.
         ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
         ds_m = ds.astype(q_h.dtype)
-        dq = _dot(ds_m, k_h, _NN) * scale  # [R, dh]
-        dk = _dot(ds_m, q_h, _NT) * scale  # [R(keys), dh]
+        dq = _dot(ds_m, k_h, DIMS_AB) * scale  # [R, dh]
+        dk = _dot(ds_m, q_h, DIMS_ATB) * scale  # [R(keys), dh]
         dqkv_ref[:, h * dh : (h + 1) * dh] = dq.astype(dqkv_ref.dtype)
         dqkv_ref[:, D + h * dh : D + (h + 1) * dh] = dk.astype(dqkv_ref.dtype)
         dqkv_ref[:, 2 * D + h * dh : 2 * D + (h + 1) * dh] = dv.astype(
@@ -290,10 +281,6 @@ def _ac_bwd(H, dh, L, rate, interpret, res, g):
 
 
 _attention_core_tpu.defvjp(_ac_fwd, _ac_bwd)
-
-
-def on_tpu() -> bool:
-    return any(d.platform in ("tpu", "axon") for d in jax.devices())
 
 
 def attention_core(

@@ -37,7 +37,15 @@ out = jax.jit(
 )(qkv)
 g = jax.jit(jax.grad(lambda q: attention_core(
     q, mask, n_heads={n_heads}, seq_len=L).astype(jnp.float32).sum()))(qkv)
-jax.block_until_ready((out, g))
+# Training compiles the dropout_rate>0 variant — a DIFFERENT Mosaic program
+# (in-kernel prng_seed + prng_random_bits per head) that must be
+# hang-checked too, or the watchdog passes while the real train-step
+# compile hangs.
+key = jax.random.PRNGKey(0)
+gd = jax.jit(jax.grad(lambda q: attention_core(
+    q, mask, n_heads={n_heads}, seq_len=L, dropout_rate=0.1,
+    dropout_rng=key).astype(jnp.float32).sum()))(qkv)
+jax.block_until_ready((out, g, gd))
 print("PALLAS_ATTENTION_OK")
 """
 
@@ -55,7 +63,11 @@ def attention_kernel_ok(
     seq_len: int = 18,
     n_heads: int = 12,
     head_dim: int = 64,
-    timeout_s: float = 600.0,
+    timeout_s: float = 1800.0,  # the probe compiles THREE fresh Mosaic
+    # programs (fwd, bwd, dropout bwd) at ~3-9 min each on the remote
+    # compiler; the persistent cache makes warm probes take seconds, and a
+    # timed-out probe still banks its finished compiles for the next run
+
     verbose: bool = True,
 ) -> bool:
     """True iff the Pallas attention kernel compiles AND runs (fwd+bwd)

@@ -29,6 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from diffusion_image_captioning_tpu.ops.common import DIMS_AB, DIMS_ABT, on_tpu as _on_tpu
+
 _TILE_V = 2048
 
 
@@ -49,8 +51,6 @@ def _dot_f32(a, b, dims, dtype):
     )
 
 
-_NT = (((1,), (1,)), ((), ()))  # a [M,C] x b [N,C] -> [M,N]
-_NN = (((1,), (0,)), ((), ()))  # a [M,C] x b [C,N] -> [M,N]
 
 
 def _xla_chunked_fwd(h, kernel, idx, tile, dtype=jnp.bfloat16):
@@ -67,7 +67,7 @@ def _xla_chunked_fwd(h, kernel, idx, tile, dtype=jnp.bfloat16):
     def body(carry, inputs):
         m, s, tgt = carry
         k_tile, t_i = inputs
-        z = _dot_f32(h, k_tile, _NT, dtype)  # [M, tile]
+        z = _dot_f32(h, k_tile, DIMS_ABT, dtype)  # [M, tile]
         base = t_i * tile
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
         # padding columns must not contribute to the lse
@@ -106,14 +106,14 @@ def _xla_chunked_bwd(h, kernel, idx, lse, g, tile, dtype=jnp.bfloat16):
 
     def body(dh, inputs):
         k_tile, t_i = inputs
-        z = _dot_f32(h, k_tile, _NT, dtype)  # [M, tile]
+        z = _dot_f32(h, k_tile, DIMS_ABT, dtype)  # [M, tile]
         base = t_i * tile
         col = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1) + base
         p = jnp.where(col < true_v, jnp.exp(z - lse[:, None]), 0.0)
         onehot = (col == idx[:, None]).astype(jnp.float32)
         dz = g[:, None] * (onehot - p)  # [M, tile]
-        dh = dh + _dot_f32(dz, k_tile, _NN, dtype)  # [M, C]
-        dw_tile = _dot_f32(dz.T, h, _NN, dtype)  # [tile, C]
+        dh = dh + _dot_f32(dz, k_tile, DIMS_AB, dtype)  # [M, C]
+        dw_tile = _dot_f32(dz.T, h, DIMS_AB, dtype)  # [tile, C]
         return dh, dw_tile
 
     dh, dw_tiles = jax.lax.scan(
@@ -123,12 +123,6 @@ def _xla_chunked_bwd(h, kernel, idx, lse, g, tile, dtype=jnp.bfloat16):
     if pad:
         dW = dW[:, :true_v]
     return dh, dW
-
-
-def _on_tpu() -> bool:
-    import jax as _jax
-
-    return any(d.platform in ("tpu", "axon") for d in _jax.devices())
 
 
 def _forward(h, kernel, idx, tile, backend, dtype):

@@ -42,10 +42,29 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
     def test_tile_n_not_divisible(self):
-        qkv, mask, H, dh, L = make_inputs(N=5)  # 5 % 8 != 0 -> TN=1
+        # N=5 is not a multiple of the tile (at L=6, _tile_n gives TN=60,
+        # so the wrapper pads 5 -> 60 fully-masked sequences and slices)
+        qkv, mask, H, dh, L = make_inputs(N=5)
         ref = ac._xla_core(qkv, mask, H=H, dh=dh, L=L)
         got = ac.attention_core(qkv, mask, n_heads=H, seq_len=L, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_extreme_negative_scores_no_underflow(self):
+        """Regression: all in-sequence scores far below the fp32 exp
+        underflow threshold (~-87). A clamp-without-max-subtraction kernel
+        variant silently returned zero context here; the softmax must
+        instead return the correct (near-uniform) distribution."""
+        N, L, H, dh = 4, 6, 2, 8
+        D = H * dh
+        q = jnp.full((N * L, D), 40.0)
+        k = jnp.full((N * L, D), -1.0)
+        v = jnp.tile(jnp.arange(N * L, dtype=jnp.float32)[:, None], (1, D))
+        qkv = jnp.concatenate([q, k, v], axis=-1)
+        mask = jnp.ones((N, L))
+        ref = ac._xla_core(qkv, mask, H=H, dh=dh, L=L)
+        got = ac.attention_core(qkv, mask, n_heads=H, seq_len=L, interpret=True)
+        assert float(jnp.max(jnp.abs(ref))) > 1.0  # oracle is non-zero
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
 class TestBackward:

@@ -231,9 +231,9 @@ class TestFfnBlock:
             (128, 8), seed, rate=0.3, interpret=False
         )
         # reconstruct: z = x + mask * (lin2(gelu(lin1(x))))
-        h = fb._dot(x, args[1].astype(x.dtype), fb._NN) + args[2]
+        h = fb._dot(x, args[1].astype(x.dtype), fb.DIMS_AB) + args[2]
         gg = fb._gelu_f32(h, fb._erf_approx).astype(x.dtype)
-        y = fb._dot(gg, args[3].astype(x.dtype), fb._NN) + args[4]
+        y = fb._dot(gg, args[3].astype(x.dtype), fb.DIMS_AB) + args[4]
         z_ref = x.astype(jnp.float32) + y * mask
         np.testing.assert_allclose(
             np.asarray(z), np.asarray(z_ref), atol=1e-2
