@@ -12,6 +12,7 @@ Flow parity (CLIP-DDPM.py):
 from __future__ import annotations
 
 import os
+import sys
 from typing import Optional
 
 import jax
@@ -135,7 +136,7 @@ def run_val_bleu(
         if cfg.debug:
             break
     score = acc / max(n, 1)
-    summary.write(f"BLEU-4 score: {score}")
+    summary.write(f"BLEU-4 score: {score}\n")
     summary.flush()
     return score
 
@@ -172,6 +173,14 @@ def run_flickr_training(
     params, loaded = load_pretrained_embedding(
         params, assets_dir and os.path.join(assets_dir, "distilbert-base-uncased-local")
     )
+    if not loaded and cfg.freeze_embedding:
+        # Without pretrained weights the frozen embedding/lm_head are RANDOM
+        # and never trained — the run exercises the machinery but cannot
+        # reach reference BLEU. Say so loudly in the log and on stderr.
+        msg = ("WARNING: no pretrained DistilBERT assets found - training "
+               "against a frozen RANDOM embedding/vocab head (BLEU will not "
+               "be meaningful; pass assets_dir or set freeze_embedding=False)")
+        print(msg, file=sys.stderr)
     tx = tr.make_optimizer(cfg)
     state = tr.init_train_state(cfg, params, tx)
     if cfg.continue_train:
@@ -182,9 +191,11 @@ def run_flickr_training(
     def checkpoint_fn(s, tag):
         ck.save(s, cfg, name, out_dir, val_indices=val_idx)
 
+    if not loaded and cfg.freeze_embedding:
+        summary.write("note: frozen embedding is RANDOM (no pretrained assets)\n")
     state, history = tr.fit(
         model, cfg, state, train_b, val_b,
-        seed=seed, summary=summary, checkpoint_fn=checkpoint_fn,
+        seed=seed, summary=summary, checkpoint_fn=checkpoint_fn, tx=tx,
     )
 
     params = tr.merge_params(state.trainable, state.frozen)
@@ -203,7 +214,7 @@ def run_lm_trial(
     seed: int = 0,
 ):
     """The lm-trial precursor (lm-trial/main.py): text-only training on a
-    CSV, final checkpoint. Returns (state, history)."""
+    CSV, final checkpoint. Returns (state, history, tokenizer)."""
     texts = textonly.read_text_column(train_csv)
     columns, tokenizer = textonly.make_text_dataset(
         texts, cfg.max_length, vocab_size=cfg.vocab_size

@@ -154,22 +154,28 @@ def ancestral_sample(
     counterpart — the reference's sampler is `refine`).
 
     The denoiser is an x0-predictor (X_0_PREDICTION=True config), so each
-    reverse step computes the posterior q(x_{s} | x_t, x0_hat) mean/variance
-    from the precomputed tables and samples. `steps` evenly strides the T
-    timesteps; the whole loop is one lax.scan.
+    reverse step computes the posterior q(x_s | x_t, x0_hat) mean/variance
+    and samples. `steps` evenly strides the T timesteps; the coefficients
+    are built PER STRIDED PAIR (t, s) from the alpha-bar ratio
+    alpha_{t->s} = abar_t / abar_s — using the precomputed single-step
+    tables at strided timesteps would sample the wrong distribution (each
+    jump would only denoise one step's worth of noise while the loop
+    advances ~T/steps timesteps). For steps == step_tot the pair
+    coefficients reduce exactly to the single-step posterior_tables
+    identities. The whole loop is one lax.scan.
     """
     B = image_clip.shape[0]
     L, C = cfg.max_length, cfg.in_channel
     img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
-    coef_x0 = tables["posterior_mean_coef_x0"]
-    coef_xt = tables["posterior_mean_coef_xt"]
-    post_var = tables["posterior_variance"]
+    abar = tables["alpha_cumprod"]
 
-    ts = jnp.linspace(cfg.step_tot - 1, 0, steps).astype(jnp.int32)
+    ladder = jnp.linspace(cfg.step_tot - 1, 0, steps + 1).astype(jnp.int32)
+    t_pairs = (ladder[:-1], ladder[1:])  # (t, s) with s < t
     key, k0 = jax.random.split(key)
     x_init = jax.random.normal(k0, (B, L, C), jnp.float32)
 
-    def body(carry, t):
+    def body(carry, t_pair):
+        t, s = t_pair
         x, k = carry
         k, kn = jax.random.split(k)
         out = model.apply(
@@ -177,13 +183,23 @@ def ancestral_sample(
             deterministic=True, return_logits=False,
         )
         x0_hat = out.hidden[:, :L]
-        mean = coef_x0[t] * x0_hat + coef_xt[t] * x
+        a_t = abar[t]
+        a_s = abar[s]
+        alpha_ts = a_t / a_s
+        denom = jnp.maximum(1.0 - a_t, 1e-8)
+        mean = (
+            jnp.sqrt(a_s) * (1.0 - alpha_ts) / denom * x0_hat
+            + jnp.sqrt(alpha_ts) * (1.0 - a_s) / denom * x
+        )
+        var = (1.0 - a_s) / denom * (1.0 - alpha_ts)
         noise = jax.random.normal(kn, x.shape, jnp.float32)
-        sigma = jnp.sqrt(jnp.maximum(post_var[t], 0.0))
-        x_next = jnp.where(t > 0, mean + sigma * noise, x0_hat)
+        sigma = jnp.sqrt(jnp.maximum(var, 0.0))
+        # the final transition (s == 0) emits the deterministic x0 estimate,
+        # matching the single-step sampler's t == 0 convention
+        x_next = jnp.where(s > 0, mean + sigma * noise, x0_hat)
         return (x_next, k), None
 
-    (x_final, _), _ = jax.lax.scan(body, (x_init, key), ts)
+    (x_final, _), _ = jax.lax.scan(body, (x_init, key), t_pairs)
     logits = model.apply({"params": params}, x_final, method="decode_logits")
     return logits, x_final
 

@@ -58,6 +58,7 @@ def posterior_tables(cfg: Config):
     coef_x0 = betas * np.sqrt(abar_prev) / np.maximum(1.0 - abar, 1e-20)
     coef_xt = (1.0 - abar_prev) * np.sqrt(alphas) / np.maximum(1.0 - abar, 1e-20)
     return {
+        "alpha_cumprod": jnp.asarray(abar, jnp.float32),
         "betas": jnp.asarray(betas, jnp.float32),
         "alphas": jnp.asarray(alphas, jnp.float32),
         "posterior_variance": jnp.asarray(post_var, jnp.float32),
@@ -72,8 +73,11 @@ def learning_rates(cfg: Config) -> np.ndarray:
     Three shapes (reference: CLIP-DDPM.py:63-70, 451-456):
       * linspace:  LR -> END over epoch_num points
       * logspace:  10^linspace(log10 LR, log10 END, epoch_num)
-      * cosine_annealing: 5-epoch half-cosine LR->END, repeated 3x (length 15,
-        independent of epoch_num — exactly like the reference helper)
+      * cosine_annealing: 5-epoch half-cosine LR->END, repeated. The
+        reference helper returns a FIXED length-15 array (3 repeats,
+        CLIP-DDPM.py:63-67) and would IndexError past epoch 15; here the
+        cycle repeats enough to cover epoch_num — identical values wherever
+        the reference is defined, no mid-run crash beyond.
     """
     lr, end = cfg.learning_rate, cfg.end_learning_rate
     n = cfg.epoch_num
@@ -85,5 +89,5 @@ def learning_rates(cfg: Config) -> np.ndarray:
         sub = 5
         x = np.arange(sub, dtype=np.float64)
         one = end + (lr - end) * (1 + np.cos(x / sub * math.pi)) / 2
-        return np.tile(one, 3)
+        return np.tile(one, max(3, -(-n // sub)))
     raise ValueError(cfg.scheduler)

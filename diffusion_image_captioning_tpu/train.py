@@ -5,9 +5,10 @@ Reference contract (CLIP-DDPM.py:451-561):
     [S*B,L,C] and x_1 [B,L,C]; run the denoiser on both; three-term loss;
     AdamW step (train_func, :458-486).
   * per epoch: override LR from the schedule array (:520-522), accumulate the
-    three loss terms, optional dynamic rounding weight (:535-536), validate,
-    early-stop checkpoint that does NOT break the loop (:548-557), append a
-    reference-format log line (:554).
+    three loss terms, validate, early-stop checkpoint that does NOT break the
+    loop (:548-557), append a reference-format log line (:554). The optional
+    dynamic rounding weight updates after EVERY batch from the running
+    epoch-accumulated sums (:535-536 sit inside the batch loop).
 
 TPU-first deviations (math-preserving):
   * the reference runs TWO denoiser forwards per step (batch 800 then batch
@@ -307,6 +308,10 @@ def fit(
     checkpoint_fn=None,      # fn(state, tag) called at early-stop / final
     debug: Optional[bool] = None,
     progress_fn=None,        # fn(epoch, step, metrics) per-step hook
+    tx=None,                 # optax transform; MUST be the one state's
+                             # opt_state was init'd with (default rebuilds
+                             # make_optimizer(cfg), which matches
+                             # init_train_state's default usage)
 ):
     """The epoch loop (CLIP-DDPM.py:515-561), host-side.
 
@@ -316,7 +321,7 @@ def fit(
     from diffusion_image_captioning_tpu.data.prefetch import PrefetchingLoader
 
     debug = cfg.debug if debug is None else debug
-    tx = make_optimizer(cfg)
+    tx = make_optimizer(cfg) if tx is None else tx
     train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_step(model, cfg)
     lrs = schedules.learning_rates(cfg)
@@ -391,6 +396,8 @@ def fit(
             "val_prob": val_avg["prob_loss"],
         }
         history.append(row)
+        if summary is not None and hasattr(summary, "epoch_row"):
+            summary.epoch_row(row)  # structured CSV mirror (additive extra)
         if summary is not None:
             # Byte-compatible epoch line (CLIP-DDPM.py:554).
             summary.write(

@@ -253,3 +253,45 @@ class TestCfgMask:
         assert m[0, 1] == 0.0 and m[1, 1] == 1.0
         frac = m[:, 1].mean()
         assert 0.7 < frac < 0.9  # keep prob 0.8
+
+
+class TestPosteriorPairIdentity:
+    def test_strided_pair_reduces_to_single_step(self):
+        """The ancestral sampler's per-pair coefficients (built from abar
+        ratios) must equal posterior_tables' single-step identities for
+        consecutive (t, t-1) — the regression behind the strided-sampling
+        fix in sample.ancestral_sample."""
+        from diffusion_image_captioning_tpu import schedules
+        from diffusion_image_captioning_tpu.config import Config
+
+        cfg = Config()
+        tabs = schedules.posterior_tables(cfg)
+        abar = np.asarray(tabs["alpha_cumprod"], np.float64)
+        for t in (1, 7, 250, 999):
+            s = t - 1
+            alpha_ts = abar[t] / abar[s]
+            denom = 1.0 - abar[t]
+            c0 = np.sqrt(abar[s]) * (1 - alpha_ts) / denom
+            ct = np.sqrt(alpha_ts) * (1 - abar[s]) / denom
+            var = (1 - abar[s]) / denom * (1 - alpha_ts)
+            np.testing.assert_allclose(
+                c0, float(tabs["posterior_mean_coef_x0"][t]), rtol=2e-4
+            )
+            np.testing.assert_allclose(
+                ct, float(tabs["posterior_mean_coef_xt"][t]), rtol=2e-4
+            )
+            np.testing.assert_allclose(
+                var, float(tabs["posterior_variance"][t]), rtol=2e-4, atol=1e-12
+            )
+
+    def test_cosine_annealing_covers_long_runs(self):
+        from diffusion_image_captioning_tpu import schedules
+        from diffusion_image_captioning_tpu.config import Config
+
+        cfg = Config(scheduler="cosine_annealing", epoch_num=32,
+                     learning_rate=1e-4, end_learning_rate=5e-5)
+        lrs = schedules.learning_rates(cfg)
+        assert len(lrs) >= 32
+        # first 15 entries unchanged vs the reference's fixed-length array
+        ref15 = schedules.learning_rates(cfg.replace(epoch_num=15))[:15]
+        np.testing.assert_allclose(lrs[:15], ref15)
