@@ -58,13 +58,16 @@ def save(
         "frozen": _stringify_keys(state.frozen),
         "opt_state": state.opt_state,
     }
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+    # meta first: restore() needs it unconditionally, so an interrupt
+    # between the two writes must not leave a complete-but-unloadable
+    # checkpoint (the reverse order can: orbax finishes, meta never lands)
     meta = {"config": json.loads(cfg.to_json())}
     if val_indices is not None:
         meta["val_indices"] = np.asarray(val_indices).tolist()
     with open(path + ".meta.json", "w") as f:
         json.dump(meta, f)
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
     return path
 
 
@@ -122,13 +125,43 @@ def _tuplify_keys(d: dict) -> dict:
     return {tuple(k.split(_SEP)): v for k, v in d.items()}
 
 
+def _valset_path(directory: str, name: str) -> str:
+    """{name}.valset.npy, truncated+hashed only when the filename would
+    exceed the filesystem's 255-byte component limit (a >~243-char codec
+    name would otherwise OSError at the END of a run). Unlike _ckpt_dir no
+    orbax tmp-suffix headroom is needed, so names the reference could
+    write keep their reference-compatible form."""
+    base = f"{name}.valset.npy"
+    if len(base) > 250:
+        import hashlib
+
+        digest = hashlib.sha1(name.encode()).hexdigest()[:10]
+        base = f"{name[:160]}~{digest}.valset.npy"
+    return os.path.join(directory, base)
+
+
 def save_val_indices(name: str, directory: str, val_indices: np.ndarray) -> str:
     """Standalone val-split artifact ({name}.valset.npy) — the equivalent of
     torch.save(val_set, f"{MODEL_NAME}.valset") (CLIP-DDPM.py:633)."""
-    path = os.path.join(directory, f"{name}.valset.npy")
+    path = _valset_path(directory, name)
     np.save(path, np.asarray(val_indices))
     return path
 
 
 def load_val_indices(name: str, directory: str) -> np.ndarray:
-    return np.load(os.path.join(directory, f"{name}.valset.npy"))
+    """Load the resume val split. Falls back to the checkpoint's meta.json:
+    the .valset.npy artifact is only written after a COMPLETED run, but an
+    early-stop checkpoint already carries the indices — a crash between the
+    two must not make continue_train unresumable."""
+    path = _valset_path(directory, name)
+    if os.path.exists(path):
+        return np.load(path)
+    meta_path = _ckpt_dir(directory, name) + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("val_indices") is not None:
+            return np.asarray(meta["val_indices"], np.int64)
+    raise FileNotFoundError(
+        f"no val split for run {name!r}: neither {path} nor checkpoint meta"
+    )

@@ -42,18 +42,19 @@ class Batcher:
         batch_size: int,
         shuffle: bool,
         seed: int = 0,
-        drop_last: bool = True,
     ):
         self.columns = columns
         self.indices = np.asarray(indices)
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.drop_last = drop_last
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
-        n = len(self.indices)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # Always drop-last — exact reference parity (BOTH its loaders pass
+        # drop_last=True, CLIP-DDPM.py:220-221) and the static-shape
+        # requirement agree: a ragged final batch would trigger a second
+        # XLA compilation and skew the per-batch loss normalization.
+        return len(self.indices) // self.batch_size
 
     def __iter__(self) -> Iterator[dict]:
         order = self.indices

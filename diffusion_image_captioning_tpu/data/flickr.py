@@ -44,7 +44,9 @@ def read_captions_csv(
             if img is None or cap is None:
                 continue
             images.append(img.strip())
-            captions.append(cap if cap is not None else "")
+            captions.append(cap)  # NOT stripped: the reference keeps the
+            # '|'-export's padded cells verbatim (CLIP-DDPM.py:209),
+            # and BLEU reference strings must match its bytes
     return images, captions
 
 

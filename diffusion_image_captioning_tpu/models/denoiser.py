@@ -170,7 +170,8 @@ def param_labels(params, cfg: Config):
     """Label tree for the optimizer partition: "frozen" for the embedding
     table and vocab head unless training embeddings (the functional
     equivalent of the reference's custom parameters(), CLIP-DDPM.py:258-269);
-    "trainable" for everything else."""
+    "trainable" for everything else. Consumed by train.partition_params,
+    which splits the param pytree itself (no optax.multi_transform)."""
 
     def label(path, _):
         names = {k.key for k in path if hasattr(k, "key")}

@@ -31,6 +31,19 @@ from diffusion_image_captioning_tpu.config import Config
 from diffusion_image_captioning_tpu.models.denoiser import CLIPDiffusionLM
 
 
+def _eval_model(model, cfg: Config):
+    """Eval rows are all unguided (concat_mask[:, 1] == 0, _cond_inputs), so
+    a classifier-free-guidance model's SECOND encoder forward is multiplied
+    by 0 and discarded. Rebinding the module with weight 0 skips it — the
+    param tree is identical (the weight is a config constant, not a param)
+    and cfg_mix with flag 0 returns the unguided output exactly, so this
+    halves sampler cost with bit-identical results."""
+    if cfg.classifier_free_weight > 0:
+        cfg = cfg.replace(classifier_free_weight=0.0)
+        model = CLIPDiffusionLM(cfg=cfg, logits_fn=model.logits_fn)
+    return model, cfg
+
+
 def _cond_inputs(cfg: Config, image_clip, B: int):
     """Eval-time conditioning: image on, text zeroed, mask all ones,
     concat_mask rows [1, 0] (CLIP-DDPM.py:617 — text CLIP is a train-time
@@ -65,6 +78,7 @@ def refine(
     (CLIP-DDPM.py:593,617); the returned logits correspond to the final
     application's output.
     """
+    model, cfg = _eval_model(model, cfg)
     B = x_init.shape[0]
     img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
 
@@ -127,6 +141,7 @@ def restore_at_t(
     (the reference loops t in Python, CLIP-DDPM.py:598-602)."""
     from diffusion_image_captioning_tpu.diffusion import q_sample
 
+    model, cfg = _eval_model(model, cfg)
     K = t.shape[0]
     x_t = q_sample(abar, x0, t, key, shared_noise=False)  # [K, L, C]
     img = jnp.tile(image_clip[:, None, :], (K, 1, 1))
@@ -164,6 +179,7 @@ def ancestral_sample(
     coefficients reduce exactly to the single-step posterior_tables
     identities. The whole loop is one lax.scan.
     """
+    model, cfg = _eval_model(model, cfg)
     B = image_clip.shape[0]
     L, C = cfg.max_length, cfg.in_channel
     img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
@@ -222,6 +238,7 @@ def ddim_sample(
     sqrt(1-abar_t); x_s = sqrt(abar_s) x0_hat + sqrt(1-abar_s) eps_hat.
     One lax.scan over the strided timestep ladder.
     """
+    model, cfg = _eval_model(model, cfg)
     B = image_clip.shape[0]
     L, C = cfg.max_length, cfg.in_channel
     img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)

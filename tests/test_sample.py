@@ -42,6 +42,33 @@ class TestRefine:
             np.asarray(logits), np.asarray(out.logits), atol=1e-3
         )
 
+
+    def test_cfg_model_eval_equivalence(self, model_and_params):
+        """sample._eval_model drops the guided forward for w > 0 models at
+        eval; since every eval row is unguided, the outputs must be
+        IDENTICAL to running the w > 0 model as-is."""
+        from diffusion_image_captioning_tpu.models.denoiser import (
+            CLIPDiffusionLM,
+        )
+
+        model, params = model_and_params
+        cfg_w = TINY.replace(classifier_free_weight=1.0)
+        model_w = CLIPDiffusionLM(cfg=cfg_w, logits_fn=model.logits_fn)
+        B = 2
+        x0 = jax.random.normal(jax.random.PRNGKey(5), (B, TINY.max_length, TINY.dim))
+        clip = jax.random.normal(jax.random.PRNGKey(6), (B, TINY.clip_dim))
+        # direct forward with the w>0 model, all rows unguided
+        img = clip[:, None, :]
+        txt = jnp.zeros_like(img)
+        mask = jnp.ones((B, TINY.max_length))
+        cmask = jnp.tile(jnp.asarray([1.0, 0.0]), (B, 1))
+        x = x0
+        for _ in range(2):
+            out = model_w.apply({"params": params}, x, img, txt, mask, cmask)
+            x = out.hidden[:, : TINY.max_length]
+        _, x_fast, _ = sp.refine(model_w, cfg_w, params, x0, clip, steps=2)
+        np.testing.assert_allclose(np.asarray(x_fast), np.asarray(x), atol=1e-4)
+
     def test_collect_logits(self, model_and_params):
         model, params = model_and_params
         x0 = jax.random.normal(jax.random.PRNGKey(3), (2, TINY.max_length, TINY.dim))
