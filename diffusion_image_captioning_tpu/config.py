@@ -42,7 +42,7 @@ def _num(x: float) -> str:
     """Format like a Python f-string renders the value (int stays int)."""
     if isinstance(x, int) or (isinstance(x, float) and x.is_integer() and abs(x) < 1e6):
         # The reference uses the int literal -1 for "dynamic off".
-        return str(int(x)) if float(x).is_integer() else str(x)
+        return str(int(x))
     return str(x)
 
 

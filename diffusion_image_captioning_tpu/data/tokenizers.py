@@ -37,9 +37,12 @@ def word_tokenize(text: str) -> list[str]:
 
 
 def split_sentences(tokens: list[str]) -> list[list[str]]:
-    """Split a token stream on '.', dropping trailing fragment without a
-    period — the reference's itertools.groupby split (CLIP-DDPM.py:143-147)
-    keeps the '.' attached to the preceding sentence."""
+    """Split a token stream on '.', dropping any trailing fragment without
+    a period. BOTH behaviors are exact reference parity: its groupby split
+    (CLIP-DDPM.py:143-147) keeps '.' attached to the preceding sentence AND
+    its `spl[:-1]` discards the final element — the full last sentence when
+    the caption lacks a trailing period (verified against the reference
+    source; affects which words reach the freq>10 vocab)."""
     out: list[list[str]] = [[]]
     for tok in tokens:
         out[-1].append(tok)

@@ -63,6 +63,7 @@ class Summary:
         self.name = model_name(cfg)
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, f"{self.name}.txt")
+        self._owns_fh = stream is None
         self._fh = stream if stream is not None else open(self.path, "a")
         self._csv_path = (
             os.path.join(directory, f"{self.name}.csv") if csv_mirror else None
@@ -89,5 +90,7 @@ class Summary:
             w.writerow(row)
 
     def close(self) -> None:
-        if self._fh is not None:
+        # only close a handle Summary opened itself — a caller-provided
+        # stream (e.g. sys.stdout) is not ours to close
+        if self._fh is not None and self._owns_fh:
             self._fh.close()

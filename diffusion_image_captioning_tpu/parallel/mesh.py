@@ -43,12 +43,21 @@ def init_distributed() -> bool:
     tests, and this single-chip environment skip it transparently."""
     import os
 
-    if not (
-        os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if (
+        os.environ.get("COORDINATOR_ADDRESS")
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
     ):
-        return False
-    jax.distributed.initialize()
-    return True
+        jax.distributed.initialize()
+        return True
+    # Cloud TPU multi-host slices don't set a coordinator address — JAX
+    # auto-detects it from TPU metadata with the no-arg initialize(). Those
+    # environments are recognizable by the worker-topology env vars.
+    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
+        "MEGASCALE_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+        return True
+    return False
 
 
 def make_mesh(

@@ -17,7 +17,6 @@ losses combine with pmean and sum-style with psum so the distributed loss
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -56,6 +55,12 @@ def make_shard_map_train_step(
     reduce = jax.lax.pmean if mean_style else jax.lax.psum
 
     def local_step(state: TrainState, batch: dict, key: jax.Array, lam):
+        # Same contract as train.make_train_step: fold with the on-device
+        # step counter so a driver may pass ONE constant key for the whole
+        # run (without this, every optimizer step would reuse identical
+        # timestep/noise/dropout draws), then with the shard index so each
+        # shard draws independently.
+        key = jax.random.fold_in(key, state.step)
         key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
 
         def loss_fn(trainable):

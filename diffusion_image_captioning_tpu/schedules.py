@@ -57,6 +57,11 @@ def posterior_tables(cfg: Config):
     post_var = betas * (1.0 - abar_prev) / np.maximum(1.0 - abar, 1e-20)
     coef_x0 = betas * np.sqrt(abar_prev) / np.maximum(1.0 - abar, 1e-20)
     coef_xt = (1.0 - abar_prev) * np.sqrt(alphas) / np.maximum(1.0 - abar, 1e-20)
+    if abar[0] >= 1.0 - 1e-12:
+        # degenerate first step (abar[0] == 1 for both schedules): the 0/0
+        # guard above would yield coef_x0[0] = 0, but the analytic limit is
+        # the posterior collapsing onto x0
+        coef_x0[0], coef_xt[0], post_var[0] = 1.0, 0.0, 0.0
     return {
         "alpha_cumprod": jnp.asarray(abar, jnp.float32),
         "betas": jnp.asarray(betas, jnp.float32),
