@@ -139,11 +139,23 @@ class CLIPBPETokenizer:
         text = _whitespace_clean(html.unescape(html.unescape(text))).lower()
         ids: List[int] = []
         for tok in _PAT.findall(text):
+            if tok in ("<|startoftext|>", "<|endoftext|>"):
+                # literal specials map to their single id (OpenAI preloads
+                # them in the BPE cache); byte-level merging would instead
+                # encode them as ordinary pieces
+                ids.append(self.encoder[tok])
+                continue
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[piece] for piece in self.bpe(tok))
         return ids
 
     def decode(self, ids: Iterable[int]) -> str:
+        """Specials are dropped; trailing zero-padding from __call__ rows is
+        dropped too (vocab id 0 is the real token '!', so only the PADDING
+        run is stripped, not literal '!' inside the text)."""
+        ids = list(ids)
+        while ids and ids[-1] == 0:
+            ids.pop()
         text = "".join(self.decoder[i] for i in ids if i not in (self.bos_id, self.eos_id))
         data = bytearray(self.byte_decoder[c] for c in text)
         return data.decode("utf-8", errors="replace").replace("</w>", " ").strip()

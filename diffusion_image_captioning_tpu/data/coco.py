@@ -56,15 +56,24 @@ def iter_coco_batches(
     limit: Optional[int] = None,
 ) -> Iterator[dict]:
     """Yields {"pixels" [B,224,224,3] u8, "captions" list[list[str]]}.
-    ``limit`` mirrors COCO_BLEU.py:265's 1000-image cap."""
+    ``limit`` mirrors COCO_BLEU.py:265's 1000-image cap. The ragged tail is
+    ZERO-PADDED to the static batch shape (captions list stays at the true
+    length, so consumers score exactly len(captions) images — dropping the
+    tail would deviate from the reference's fixed 1000-image protocol)."""
+    import numpy as np
+
     images, caps = read_coco_captions(ann_file)
     if limit is not None:
         images = images[:limit]
     for i in range(0, len(images), batch_size):
         chunk = images[i : i + batch_size]
+        pixels = load_image_batch(root, [c["file_name"] for c in chunk])
         if len(chunk) < batch_size:
-            break  # static shapes: drop ragged tail
+            pad = batch_size - len(chunk)
+            pixels = np.concatenate(
+                [pixels, np.zeros((pad,) + pixels.shape[1:], pixels.dtype)]
+            )
         yield {
-            "pixels": load_image_batch(root, [c["file_name"] for c in chunk]),
+            "pixels": pixels,
             "captions": [caps.get(c["id"], [""]) for c in chunk],
         }

@@ -37,6 +37,74 @@ from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
 from diffusion_image_captioning_tpu.models.hf_convert import load_pretrained_embedding
 
 
+def build_eval_tokenizer(cfg: Config, assets_dir, captions_csv=None):
+    """Reconstruct the TRAINING tokenizer for an eval/demo script.
+
+    Checkpoints carry no vocab (the reference rebuilds it from the training
+    captions at interpreter startup — COCO_BLEU.py imports the same
+    module-level builder), so eval needs either assets_dir/vocab.txt (the
+    pretrained-WordPiece path) or the training captions CSV. Errors loudly
+    instead of silently decoding everything to UNK from an empty vocab."""
+    caps: list[str] = []
+    if captions_csv:
+        from diffusion_image_captioning_tpu.data import flickr as _fl
+
+        _, caps = _fl.read_captions_csv(captions_csv)
+    if cfg.train_embedding:
+        if not caps:
+            raise SystemExit(
+                "train_embedding checkpoint: pass --captions <training csv> "
+                "to rebuild the DictTokenizer vocabulary (a checkpoint "
+                "carries no vocab; an empty one decodes everything to UNK)"
+            )
+        return DictTokenizer(build_caption_vocab(caps))
+    vocab_path = assets_dir and os.path.join(assets_dir, "vocab.txt")
+    if vocab_path and os.path.exists(vocab_path):
+        return WordPieceTokenizer.from_file(vocab_path)
+    if caps:
+        return WordPieceTokenizer(
+            build_wordpiece_vocab(caps, vocab_size=cfg.vocab_size)
+        )
+    raise SystemExit(
+        "no tokenizer source: pass --assets_dir with vocab.txt or "
+        "--captions <training csv> (an empty vocab decodes everything to UNK)"
+    )
+
+
+def load_clip_vision_params(enc, assets_dir, *, allow_random=False):
+    """CLIP vision params from local HF assets; hard error when absent
+    unless explicitly overridden — random CLIP weights condition the model
+    on noise and produce silently-meaningless captions/scores."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    params = enc.init(
+        _jax.random.PRNGKey(0), _jnp.zeros((1, 224, 224, 3), _jnp.float32)
+    )["params"]
+    clip_dir = assets_dir and os.path.join(
+        assets_dir, "openai", "clip-vit-base-patch32-local"
+    )
+    if clip_dir and os.path.isdir(clip_dir):
+        from diffusion_image_captioning_tpu.models.hf_convert import (
+            apply_flat_updates,
+            convert_clip_vision,
+        )
+
+        return apply_flat_updates(params, convert_clip_vision(clip_dir))
+    if allow_random:
+        print(
+            "WARNING: using RANDOM-INIT CLIP vision weights "
+            "(--allow_random_clip) - outputs are smoke-test only",
+            file=sys.stderr,
+        )
+        return params
+    raise SystemExit(
+        "CLIP assets not found under --assets_dir "
+        "(openai/clip-vit-base-patch32-local); refusing to condition on "
+        "random weights. Pass --allow_random_clip for a smoke test."
+    )
+
+
 def build_tokenizer(cfg: Config, captions: list[str], assets_dir: Optional[str]):
     """TRAIN_EMBEDDING -> caption-frequency DictTokenizer (CLIP-DDPM.py:
     132-165); otherwise WordPiece from a vocab.txt under assets_dir (the HF

@@ -19,6 +19,12 @@ def main() -> None:
     p.add_argument("ckpt_name")
     p.add_argument("--ckpt_dir", default=".")
     p.add_argument("--assets_dir", default=None)
+    p.add_argument("--captions", default=None,
+                   help="training captions CSV, to rebuild the tokenizer "
+                        "when assets_dir/vocab.txt is absent or the model "
+                        "used train_embedding")
+    p.add_argument("--allow_random_clip", action="store_true",
+                   help="smoke-test only: proceed with random CLIP weights")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -36,7 +42,10 @@ def main() -> None:
         preprocess_images,
     )
     from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
-    from diffusion_image_captioning_tpu.pipeline import build_tokenizer
+    from diffusion_image_captioning_tpu.pipeline import (
+        build_eval_tokenizer,
+        load_clip_vision_params,
+    )
 
     state, cfg, _ = ck.restore(args.ckpt_name, args.ckpt_dir)
     if cfg.use_pallas_attention:
@@ -48,22 +57,12 @@ def main() -> None:
             cfg = cfg.replace(use_pallas_attention=False)
     model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
     params = tr.merge_params(state.trainable, state.frozen)
-    tokenizer = build_tokenizer(cfg, [], args.assets_dir)
+    tokenizer = build_eval_tokenizer(cfg, args.assets_dir, args.captions)
 
     enc = CLIPVisionEncoder()
-    clip_params = enc.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
-    )["params"]
-    clip_dir = args.assets_dir and os.path.join(
-        args.assets_dir, "openai", "clip-vit-base-patch32-local"
+    clip_params = load_clip_vision_params(
+        enc, args.assets_dir, allow_random=args.allow_random_clip
     )
-    if clip_dir and os.path.isdir(clip_dir):
-        from diffusion_image_captioning_tpu.models.hf_convert import (
-            apply_flat_updates,
-            convert_clip_vision,
-        )
-
-        clip_params = apply_flat_updates(clip_params, convert_clip_vision(clip_dir))
 
     pix = load_image_batch(
         os.path.dirname(args.image) or ".", [os.path.basename(args.image)]

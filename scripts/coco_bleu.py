@@ -24,6 +24,12 @@ def main() -> None:
     p.add_argument("--coco_root", required=True)
     p.add_argument("--ann_file", required=True)
     p.add_argument("--assets_dir", default=None)
+    p.add_argument("--captions", default=None,
+                   help="training captions CSV, to rebuild the tokenizer "
+                        "when assets_dir/vocab.txt is absent or the model "
+                        "used train_embedding")
+    p.add_argument("--allow_random_clip", action="store_true",
+                   help="smoke-test only: proceed with random CLIP weights")
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--limit", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
@@ -44,7 +50,10 @@ def main() -> None:
     )
     from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
     from diffusion_image_captioning_tpu.models.hf_convert import convert_clip_vision
-    from diffusion_image_captioning_tpu.pipeline import build_tokenizer
+    from diffusion_image_captioning_tpu.pipeline import (
+        build_eval_tokenizer,
+        load_clip_vision_params,
+    )
 
     state, cfg, _ = ck.restore(args.ckpt_name, args.ckpt_dir)
     # checkpoint-name guard (COCO_BLEU.py:237)
@@ -60,30 +69,25 @@ def main() -> None:
             cfg = cfg.replace(use_pallas_attention=False)
     model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
     params = tr.merge_params(state.trainable, state.frozen)
-    tokenizer = build_tokenizer(cfg, [], args.assets_dir)
+    tokenizer = build_eval_tokenizer(cfg, args.assets_dir, args.captions)
 
     clip_enc = CLIPVisionEncoder()
-    clip_params = clip_enc.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
-    )["params"]
-    clip_dir = args.assets_dir and os.path.join(
-        args.assets_dir, "openai", "clip-vit-base-patch32-local"
+    clip_params = load_clip_vision_params(
+        clip_enc, args.assets_dir, allow_random=args.allow_random_clip
     )
-    if clip_dir and os.path.isdir(clip_dir):
-        from diffusion_image_captioning_tpu.models.hf_convert import apply_flat_updates
-
-        clip_params = apply_flat_updates(clip_params, convert_clip_vision(clip_dir))
 
     @jax.jit
-    def encode(pixels_u8):
-        return clip_enc.apply({"params": clip_params}, preprocess_images(pixels_u8))
+    def encode(cp, pixels_u8):
+        # params as a traced ARGUMENT: closure capture would bake ~350 MB
+        # of fp32 weights into the jaxpr as constants
+        return clip_enc.apply({"params": cp}, preprocess_images(pixels_u8))
 
     key = jax.random.PRNGKey(args.seed)
     acc, n_images = 0.0, 0
     for batch in coco.iter_coco_batches(
         args.coco_root, args.ann_file, args.batch_size, limit=args.limit
     ):
-        feats = encode(jnp.asarray(batch["pixels"]))
+        feats = encode(clip_params, jnp.asarray(batch["pixels"]))
         key, k = jax.random.split(key)
         logits, _ = sample.sample_captions(
             model, cfg, params, feats, k, steps=cfg.refine_steps_eval

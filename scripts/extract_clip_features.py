@@ -36,6 +36,15 @@ def main() -> None:
     )
     p.add_argument("--out_dir", default=".")
     p.add_argument("--assets_dir", default=None)
+    p.add_argument("--allow_random_clip", action="store_true",
+                   help="smoke-test only: proceed with random CLIP weights")
+    p.add_argument("--no_normalize", action="store_true",
+                   help="skip L2 normalization of fresh features. The "
+                        "reference's image pickles are RAW encoder outputs "
+                        "(CLIP-DDPM.py:123 loads them unnormalized; only "
+                        "COCO_BLEU.py:221 normalizes at eval) — pass this "
+                        "when mixing fresh extraction with --convert output "
+                        "so both sources share the same scale")
     p.add_argument("--batch_size", type=int, default=64)
     args = p.parse_args()
 
@@ -70,32 +79,38 @@ def main() -> None:
         convert_clip_vision,
     )
 
+    from diffusion_image_captioning_tpu.pipeline import load_clip_vision_params
+
     imgs, caps = fl.read_captions_csv(args.captions)
     enc = CLIPVisionEncoder()
-    params = enc.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3), jnp.float32)
-    )["params"]
-    clip_dir = args.assets_dir and os.path.join(
-        args.assets_dir, "openai", "clip-vit-base-patch32-local"
+    params = load_clip_vision_params(
+        enc, args.assets_dir, allow_random=args.allow_random_clip
     )
-    if clip_dir and os.path.isdir(clip_dir):
-        params = apply_flat_updates(params, convert_clip_vision(clip_dir))
 
     @jax.jit
-    def encode(pix):
-        return enc.apply({"params": params}, preprocess_images(pix))
+    def encode(p_, pix):
+        # params as a traced argument (closure capture would constant-fold
+        # the full weight tree into the jaxpr)
+        return enc.apply(
+            {"params": p_}, preprocess_images(pix),
+            normalize=not args.no_normalize,
+        )
 
-    feats = np.zeros((len(imgs), 512), np.float32)
+    # captions CSVs are row-aligned (~5 rows per image): encode each UNIQUE
+    # image once and scatter back with the inverse index
+    uniq, inverse = np.unique(np.asarray(imgs), return_inverse=True)
+    ufeats = np.zeros((len(uniq), 512), np.float32)
     B = args.batch_size
-    for i in range(0, len(imgs), B):
-        chunk = imgs[i : i + B]
+    for i in range(0, len(uniq), B):
+        chunk = list(uniq[i : i + B])
         pix = load_image_batch(args.images_dir, chunk)
         pad = B - len(chunk)
         if pad:
             pix = np.concatenate([pix, np.zeros((pad, 224, 224, 3), np.uint8)])
-        out = np.asarray(encode(jnp.asarray(pix)))
-        feats[i : i + len(chunk)] = out[: len(chunk)]
-        print(f"\r{i + len(chunk)}/{len(imgs)}", end="", flush=True)
+        out = np.asarray(encode(params, jnp.asarray(pix)))
+        ufeats[i : i + len(chunk)] = out[: len(chunk)]
+        print(f"\r{i + len(chunk)}/{len(uniq)} unique images", end="", flush=True)
+    feats = ufeats[inverse]
     print()
     out_path = os.path.join(args.out_dir, "image_clip.npy")
     np.save(out_path, feats)
@@ -134,8 +149,8 @@ def _extract_texts(args) -> None:
     params = apply_flat_updates(params, convert_clip_text(clip_dir))
 
     @jax.jit
-    def encode(ids):
-        return enc.apply({"params": params}, ids)
+    def encode(p_, ids):
+        return enc.apply({"params": p_}, ids, normalize=not args.no_normalize)
 
     feats = np.zeros((len(caps), 512), np.float32)
     B = args.batch_size
@@ -145,7 +160,7 @@ def _extract_texts(args) -> None:
         pad = B - len(chunk)
         if pad:
             ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), np.int32)])
-        out = np.asarray(encode(jnp.asarray(ids)))
+        out = np.asarray(encode(params, jnp.asarray(ids)))
         feats[i : i + len(chunk)] = out[: len(chunk)]
         print(f"\r{i + len(chunk)}/{len(caps)}", end="", flush=True)
     print()

@@ -63,6 +63,21 @@ class TestBPE:
                 "input_ids"
             ], text
 
+
+    def test_special_token_literal(self, bpe_assets):
+        """A literal special in the input must map to its single id (OpenAI
+        preloads specials in the BPE cache), not byte-level pieces."""
+        tok = clip_bpe.from_hf_dir(bpe_assets)
+        assert tok.encode("<|endoftext|>") == [tok.eos_id]
+        assert tok.encode("the <|endoftext|>")[-1] == tok.eos_id
+
+    def test_decode_strips_row_padding(self, bpe_assets):
+        """__call__ rows are zero-padded; decode must drop the TRAILING pad
+        run (vocab id 0 is a real token, so only the tail is stripped)."""
+        tok = clip_bpe.from_hf_dir(bpe_assets)
+        row = tok(["the"], context_length=12)[0]
+        assert tok.decode(row) == "the"
+
     def test_batch_layout(self, bpe_assets):
         tok = clip_bpe.from_hf_dir(bpe_assets)
         arr = tok(["the", "the an on " * 40], context_length=16)

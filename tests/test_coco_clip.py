@@ -50,11 +50,15 @@ class TestCocoData:
     def test_iter_batches_fixed_shape(self, coco_assets):
         root, ann = coco_assets
         batches = list(coco.iter_coco_batches(root, ann, batch_size=2))
-        assert len(batches) == 2  # 5 images, drop ragged tail
+        # 5 images -> 3 batches; the ragged tail is ZERO-PADDED to the
+        # static pixel shape while captions keep the true length, so all 5
+        # images are scored (reference protocol: COCO_BLEU.py:265)
+        assert len(batches) == 3
         for b in batches:
             assert b["pixels"].shape == (2, 224, 224, 3)
             assert b["pixels"].dtype == np.uint8
-            assert len(b["captions"]) == 2
+        assert [len(b["captions"]) for b in batches] == [2, 2, 1]
+        assert (batches[-1]["pixels"][1] == 0).all()  # pad row
 
     def test_limit(self, coco_assets):
         root, ann = coco_assets
