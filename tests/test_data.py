@@ -171,3 +171,39 @@ class TestFlickr:
     def test_captions_by_image(self):
         table = flickr.captions_by_image(["a", "a", "b"], ["c1", "c2", "c3"])
         assert table == {"a": ["c1", "c2"], "b": ["c3"]}
+
+
+class TestEvalHelpers:
+    """pipeline.build_eval_tokenizer / load_clip_vision_params guard rails."""
+
+    def test_eval_tokenizer_from_captions(self, tmp_path):
+        from diffusion_image_captioning_tpu.pipeline import build_eval_tokenizer
+        from diffusion_image_captioning_tpu.config import Config
+
+        csv = tmp_path / "captions.txt"
+        csv.write_text(
+            "image,caption\n"
+            + "".join(f"i{j}.jpg,a dog runs fast here .\n" for j in range(30))
+        )
+        tok = build_eval_tokenizer(
+            Config(train_embedding=True), None, str(csv)
+        )
+        ids, _ = tok.encode("a dog runs", 8)
+        # real words from the corpus must NOT map to UNK
+        assert tok.vocab.get("dog") in list(ids)
+
+    def test_eval_tokenizer_refuses_empty(self):
+        from diffusion_image_captioning_tpu.pipeline import build_eval_tokenizer
+        from diffusion_image_captioning_tpu.config import Config
+
+        with pytest.raises(SystemExit):
+            build_eval_tokenizer(Config(train_embedding=True), None, None)
+        with pytest.raises(SystemExit):
+            build_eval_tokenizer(Config(), None, None)
+
+    def test_clip_params_refuse_random(self):
+        from diffusion_image_captioning_tpu.pipeline import load_clip_vision_params
+        from diffusion_image_captioning_tpu.models.clip import CLIPVisionEncoder
+
+        with pytest.raises(SystemExit):
+            load_clip_vision_params(CLIPVisionEncoder(), None)
