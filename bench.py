@@ -39,23 +39,26 @@ def main() -> None:
     from diffusion_image_captioning_tpu import train as tr
 
     on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
-    use_pallas = True
-    if on_tpu:
-        # The remote Mosaic compiler can hang on some kernel forms; a hang
-        # here would leave the round with NO benchmark line. Compile-check
-        # the attention kernel in a sacrificial subprocess first and fall
-        # back to XLA attention (~5% slower step) if it doesn't come back.
-        from diffusion_image_captioning_tpu.ops.pallas_guard import (
-            attention_kernel_ok,
-        )
-
-        use_pallas = attention_kernel_ok()
     cfg = Config(
         epoch_num=15,
         rounding_weight=0.3,
         compute_dtype="bfloat16" if on_tpu else "float32",
-        use_pallas_attention=use_pallas,
     )
+    if on_tpu:
+        # The remote Mosaic compiler can hang on some kernel forms; a hang
+        # here would leave the round with NO benchmark line. Compile-check
+        # the attention kernel (at the EXACT shape the step will compile)
+        # in a sacrificial subprocess first and fall back to XLA attention
+        # (~5% slower step) if it doesn't come back.
+        from diffusion_image_captioning_tpu.ops.pallas_guard import (
+            attention_kernel_ok,
+        )
+
+        if not attention_kernel_ok(
+            seq_len=cfg.fused_length, n_heads=cfg.n_heads,
+            head_dim=cfg.head_dim,
+        ):
+            cfg = cfg.replace(use_pallas_attention=False)
 
     model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
     tx = tr.make_optimizer(cfg)

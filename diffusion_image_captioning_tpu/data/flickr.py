@@ -91,10 +91,22 @@ def make_flickr_dataset(
             f"misaligned dataset: {n} captions, {len(image_names)} images, "
             f"{image_clip.shape[0]}/{text_clip.shape[0]} feature rows"
         )
-    input_ids = np.zeros((n, max_length), np.int32)
-    mask = np.zeros((n, max_length), np.int32)
-    for i, cap in enumerate(captions):
-        input_ids[i], mask[i] = tokenizer.encode(cap, max_length)
+    from diffusion_image_captioning_tpu.data.tokenizers import (
+        WordPieceTokenizer,
+    )
+
+    if isinstance(tokenizer, WordPieceTokenizer):
+        # batch path: the native C++ encoder (utils/native.py) when its
+        # configuration matches, Python otherwise — identical ids either
+        # way (parity-tested in tests/test_native.py)
+        from diffusion_image_captioning_tpu.utils.native import encode_batch
+
+        input_ids, mask = encode_batch(tokenizer, list(captions), max_length)
+    else:
+        input_ids = np.zeros((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        for i, cap in enumerate(captions):
+            input_ids[i], mask[i] = tokenizer.encode(cap, max_length)
     return {
         "input_ids": input_ids,
         "attention_mask": mask,

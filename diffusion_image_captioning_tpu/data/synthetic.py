@@ -117,6 +117,13 @@ def synthetic_flickr_dirs(tmp_dir: str, n: int = 100, seed: int = 0) -> str:
         f.write("image,caption\n")
         for img, cap in zip(imgs, caps):
             f.write(f'{img},"{cap}"\n')
-    np.save(os.path.join(tmp_dir, "image_clip.npy"), synthetic_clip_features(n, seed=seed + 1))
+    # rows of the SAME image share one image feature (like the real Flickr
+    # table, where the per-image CLIP feature repeats across its ~5
+    # caption rows); text features stay per-caption
+    uniq = sorted(set(imgs), key=imgs.index)
+    per_image = synthetic_clip_features(len(uniq), seed=seed + 1)
+    img_index = {name: i for i, name in enumerate(uniq)}
+    img_feats = per_image[[img_index[name] for name in imgs]]
+    np.save(os.path.join(tmp_dir, "image_clip.npy"), img_feats)
     np.save(os.path.join(tmp_dir, "text_clip.npy"), synthetic_clip_features(n, seed=seed + 2))
     return tmp_dir

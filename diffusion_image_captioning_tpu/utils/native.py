@@ -45,8 +45,15 @@ def load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not os.path.exists(_SRC) or not _build():
+        have_src = os.path.exists(_SRC)
+        stale = (
+            not os.path.exists(_SO)
+            or (have_src and os.path.getmtime(_SO) < os.path.getmtime(_SRC))
+        )
+        if stale:
+            # a prebuilt .so with no source is still usable; only rebuild
+            # when the source exists and is newer
+            if not have_src or not _build():
                 _build_failed = True
                 return None
         lib = ctypes.CDLL(_SO)
@@ -89,6 +96,10 @@ class NativeWordPiece:
             pass
 
     def encode_batch(self, texts: list[str], max_length: int):
+        if max_length < 2:
+            # the C++ side unconditionally writes CLS/SEP; smaller rows
+            # would corrupt the output buffer
+            raise ValueError("max_length must be >= 2")
         n = len(texts)
         ids = np.empty((n, max_length), np.int32)
         mask = np.empty((n, max_length), np.int32)
@@ -104,16 +115,37 @@ class NativeWordPiece:
         return ids, mask
 
 
+_engine_cache: dict[int, "NativeWordPiece"] = {}
+
+
+def _native_ok(tokenizer, texts) -> bool:
+    """The C++ engine implements exactly the lowercase=True / max_chars=100
+    / ASCII configuration. Refuse silently-divergent inputs: the engine
+    picked must never depend on toolchain presence AND input content giving
+    different ids."""
+    if not (tokenizer.lowercase and tokenizer.max_chars == 100):
+        return False
+    return all(t.isascii() for t in texts)
+
+
 def encode_batch(tokenizer, texts: list[str], max_length: int):
-    """Batch-encode with the native engine when possible, else the Python
-    tokenizer. ``tokenizer`` is a data.tokenizers.WordPieceTokenizer."""
-    try:
-        native = NativeWordPiece(tokenizer.vocab)
-        return native.encode_batch(texts, max_length)
-    except Exception:
-        n = len(texts)
-        ids = np.zeros((n, max_length), np.int32)
-        mask = np.zeros((n, max_length), np.int32)
-        for i, t in enumerate(texts):
-            ids[i], mask[i] = tokenizer.encode(t, max_length)
-        return ids, mask
+    """Batch-encode with the native engine when it matches the tokenizer's
+    exact configuration (ASCII text, lowercase, default max_chars), else
+    the Python tokenizer. ``tokenizer`` is a
+    data.tokenizers.WordPieceTokenizer."""
+    if max_length >= 2 and _native_ok(tokenizer, texts):
+        try:
+            key = id(tokenizer.vocab)
+            native = _engine_cache.get(key)
+            if native is None:
+                native = NativeWordPiece(tokenizer.vocab)
+                _engine_cache[key] = native
+            return native.encode_batch(texts, max_length)
+        except Exception:
+            pass
+    n = len(texts)
+    ids = np.zeros((n, max_length), np.int32)
+    mask = np.zeros((n, max_length), np.int32)
+    for i, t in enumerate(texts):
+        ids[i], mask[i] = tokenizer.encode(t, max_length)
+    return ids, mask

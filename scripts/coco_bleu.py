@@ -65,7 +65,15 @@ def main() -> None:
             attention_kernel_ok,
         )
 
-        if not attention_kernel_ok(seq_len=cfg.max_length + 2):
+        # probe the EXACT kernel shape training/eval will compile —
+        # fused_length depends on the fusion mode, and a different
+        # (L, heads, head_dim) is a different Mosaic program the
+        # hang-guard would otherwise never have checked
+        if not attention_kernel_ok(
+            seq_len=cfg.fused_length,
+            n_heads=cfg.n_heads,
+            head_dim=cfg.head_dim,
+        ):
             cfg = cfg.replace(use_pallas_attention=False)
     model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
     params = tr.merge_params(state.trainable, state.frozen)

@@ -35,6 +35,9 @@ def main() -> None:
             cfg = cfg.replace(**{name: getattr(args, name)})
 
     _, history, _ = run_lm_trial(cfg, args.train_csv, args.out_dir, seed=args.seed)
+    if not history:
+        print("no epochs ran (epoch_num=0)")
+        return
     last = history[-1]
     print(
         f"epoch {last['epoch']} losses: x_t={last['train_x_t']:.4f} "

@@ -57,6 +57,11 @@ def main() -> None:
     )
     add_config_flags(p)
     args = p.parse_args()
+    if not (args.flickr8k_dir or args.flickr30k_dir):
+        p.error(
+            "pass --flickr8k_dir and/or --flickr30k_dir (an empty dataset "
+            "would initialize the full-size model and die much later)"
+        )
     cfg = config_from_args(args)
 
     if cfg.use_pallas_attention:
@@ -66,7 +71,15 @@ def main() -> None:
             attention_kernel_ok,
         )
 
-        if not attention_kernel_ok(seq_len=cfg.max_length + 2):
+        # probe the EXACT kernel shape training/eval will compile —
+        # fused_length depends on the fusion mode, and a different
+        # (L, heads, head_dim) is a different Mosaic program the
+        # hang-guard would otherwise never have checked
+        if not attention_kernel_ok(
+            seq_len=cfg.fused_length,
+            n_heads=cfg.n_heads,
+            head_dim=cfg.head_dim,
+        ):
             cfg = cfg.replace(use_pallas_attention=False)
 
     if args.debug_nans:
