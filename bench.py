@@ -1,7 +1,7 @@
 """Headline benchmark: flagship training-step throughput on TPU.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
 
 Baseline: the reference trains Flickr8k for 15 epochs in 5 h on one A30
 (README.md:15) at ~4,045 optimizer steps/epoch (batch 8, 0.8 x 40,455
@@ -10,6 +10,13 @@ SAMPLE_SIZE*BATCH_SIZE = 800 rows (+8 x_1 rows) of seq-16x768 through the
 denoiser twice (fwd+bwd). We measure the same unit — optimizer steps/s of
 the identical flagship configuration (DistilBERT-base denoiser, concat
 fusion, x0-prediction, all three loss terms, AdamW) — on one TPU chip.
+
+``extras`` carries the secondary perf claims (VERDICT round-1 item 6) so
+BENCH_r*.json substantiates them from checked-in code: full-size sampler
+latencies at batch 64 — the reference 5-step refinement protocol plus the
+100-step ancestral DDPM / 50-step DDIM extensions (BASELINE.md's
+"sub-second batched 100-step sampling" target). Pass --train-only to skip
+them (they add three compiles).
 """
 
 from __future__ import annotations
@@ -93,6 +100,13 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     steps_per_sec = n_steps / dt
+
+    extras = {}
+    if "--train-only" not in sys.argv:
+        extras = bench_samplers(model, cfg, tr.merge_params(
+            state.trainable, state.frozen
+        ))
+
     print(
         json.dumps(
             {
@@ -100,9 +114,61 @@ def main() -> None:
                 "value": round(steps_per_sec, 4),
                 "unit": "optimizer steps/s (effective batch 800, DistilBERT-base denoiser)",
                 "vs_baseline": round(steps_per_sec / A30_STEPS_PER_SEC, 3),
+                "extras": extras,
             }
         )
     )
+
+
+def bench_samplers(model, cfg, params, batch_size: int = 64, iters: int = 20):
+    """Full-size sampler latencies (ms per batched call), batch 64."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_image_captioning_tpu import sample as sp
+    from diffusion_image_captioning_tpu import schedules
+
+    clip = jax.random.normal(
+        jax.random.PRNGKey(5), (batch_size, cfg.clip_dim), jnp.float32
+    )
+    abar = schedules.alpha_cumprod_table(cfg)
+    tables = schedules.posterior_tables(cfg)
+
+    def timed(fn):
+        out = fn(jax.random.PRNGKey(0))  # compile
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            out = fn(jax.random.PRNGKey(i))
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    lat = {}
+    lat["refine5_ms_b64"] = round(
+        timed(
+            lambda k: sp.sample_captions(model, cfg, params, clip, k, steps=5)[0]
+        ),
+        2,
+    )
+    lat["ddim50_ms_b64"] = round(
+        timed(
+            lambda k: sp.ddim_sample(
+                model, cfg, params, abar, clip, k, steps=50
+            )[0]
+        ),
+        2,
+    )
+    lat["ancestral100_ms_b64"] = round(
+        timed(
+            lambda k: sp.ancestral_sample(
+                model, cfg, params, tables, clip, k, steps=100
+            )[0]
+        ),
+        2,
+    )
+    return lat
 
 
 if __name__ == "__main__":

@@ -135,8 +135,13 @@ class Config:
     # threefry but dropout only needs iid bits.
 
     # --- TPU: parallelism (new capability; SURVEY.md section 2.14) ---
+    # mesh_data x mesh_model > 1 makes pipeline.run_flickr_training (and the
+    # train CLI) build a Mesh, shard the TrainState (vocab-dim TP for the
+    # embedding/lm_head tables when mesh_model > 1) and shard every batch
+    # over the data axis inside train.fit. batch_size must be divisible by
+    # mesh_data.
     mesh_data: int = 1                # data-parallel axis size
-    mesh_model: int = 1               # tensor-parallel axis size (vocab/FFN)
+    mesh_model: int = 1               # tensor-parallel axis size (vocab tables)
 
     # ----- derived -----
     @property

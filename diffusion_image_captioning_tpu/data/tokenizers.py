@@ -33,6 +33,24 @@ _WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\sA-Za-z0-9]")
 
 
 def word_tokenize(text: str) -> list[str]:
+    """Regex stand-in for spaCy's English tokenizer (the reference builds
+    its TRAIN_EMBEDDING vocab with ``spacy.load('en_core_web_sm')``,
+    CLIP-DDPM.py:132-141; spaCy is not installed in this environment).
+
+    KNOWN DIVERGENCES from spaCy's rules (only the freq>10 vocab of the
+    train_embedding path can be affected; the WordPiece path never uses
+    this):
+      * contractions stay whole here ("don't", "man's") where spaCy emits
+        exception splits ("do"+"n't", "man"+"'s") — a caption corpus with
+        >10 occurrences of a contraction yields different vocab entries;
+      * hyphenated compounds split into three tokens here ("well-known" ->
+        "well","-","known"); spaCy's infix rules do the same for letters
+        but KEEP digit-adjacent hyphens ("mid-1980s") as one token;
+      * multi-char symbols/emoticons split per char here, single token in
+        spaCy's tokenizer exceptions.
+    ``scripts/vocab_diff.py`` (and tests/test_data.py's spaCy-gated test)
+    measure the real divergence whenever spaCy + caption data are present.
+    """
     return [m.group(0).lower() for m in _WORD_RE.finditer(text)]
 
 
@@ -144,6 +162,8 @@ class WordPieceTokenizer:
     actual ids are looked up from the vocab so any vocab file works.
     """
 
+    SPECIAL_TOKENS = ("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]")
+
     def __init__(self, vocab: dict[str, int], lowercase: bool = True, max_chars: int = 100):
         self.vocab = vocab
         self.inv = {v: k for k, v in vocab.items()}
@@ -153,6 +173,14 @@ class WordPieceTokenizer:
         self.unk_id = vocab.get("[UNK]", 0)
         self.cls_id = vocab.get("[CLS]", 0)
         self.sep_id = vocab.get("[SEP]", 0)
+        # HF never splits/lowercases special tokens appearing IN text
+        # (tokenize() pre-splits on all_special_tokens); mirror that.
+        specials = [t for t in self.SPECIAL_TOKENS if t in vocab]
+        self._special_re = (
+            re.compile("(" + "|".join(re.escape(t) for t in specials) + ")")
+            if specials
+            else None
+        )
 
     @classmethod
     def from_file(cls, path: str, **kw) -> "WordPieceTokenizer":
@@ -192,8 +220,15 @@ class WordPieceTokenizer:
 
     def tokenize_ids(self, text: str) -> list[int]:
         ids: list[int] = []
-        for word in basic_tokenize(text, self.lowercase):
-            ids.extend(self.wordpiece(word))
+        chunks = (
+            self._special_re.split(text) if self._special_re else [text]
+        )
+        for chunk in chunks:
+            if self._special_re and self._special_re.fullmatch(chunk):
+                ids.append(self.vocab[chunk])
+                continue
+            for word in basic_tokenize(chunk, self.lowercase):
+                ids.extend(self.wordpiece(word))
         return ids
 
     def encode(self, text: str, max_length: int) -> tuple[np.ndarray, np.ndarray]:
@@ -208,10 +243,22 @@ class WordPieceTokenizer:
         mask[:n] = 1
         return input_ids, mask
 
+    # transformers.PreTrainedTokenizerBase.clean_up_tokenization, verbatim
+    # semantics: the reference decodes with the (then-)default
+    # clean_up_tokenization_spaces=True, and its run logs show the cleaned
+    # bytes ("the ball. [SEP]", "don't") — so the cleanup IS part of the
+    # contractual BLEU-candidate format (CLIP-DDPM.py:623).
+    _CLEANUP = (
+        (" .", "."), (" ?", "?"), (" !", "!"), (" ,", ","),
+        (" ' ", "'"), (" n't", "n't"), (" 'm", "'m"), (" 's", "'s"),
+        (" 've", "'ve"), (" 're", "'re"),
+    )
+
     def decode(self, ids: Sequence[int]) -> str:
         """HF-style decode: wordpieces merged via '##', tokens joined by
         spaces, special tokens KEPT — the BLEU candidates depend on '[CLS]'
-        '[SEP]' '[PAD]' appearing in the string (CLIP-DDPM.py:623-627)."""
+        '[SEP]' '[PAD]' appearing in the string (CLIP-DDPM.py:623-627) —
+        and HF's tokenization-space cleanup applied (see _CLEANUP)."""
         toks = [self.inv.get(int(i), "[UNK]") for i in ids]
         out: list[str] = []
         for tok in toks:
@@ -219,7 +266,10 @@ class WordPieceTokenizer:
                 out[-1] = out[-1] + tok[2:]
             else:
                 out.append(tok)
-        return " ".join(out)
+        text = " ".join(out)
+        for a, b in self._CLEANUP:
+            text = text.replace(a, b)
+        return text
 
 
 def build_wordpiece_vocab(

@@ -49,6 +49,20 @@ def parse_epoch_lines(path: str) -> list[dict]:
     return rows
 
 
+def parse_bleu(path: str) -> Optional[float]:
+    """The final 'BLEU-4 score:' value of a run log (ours or a reference
+    trial log), or None if the run never reached eval. The last occurrence
+    wins — CONTINUE_TRAIN appends a fresh eval to the same file."""
+    score = None
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            if "BLEU-4 score:" in line:
+                vals = extract_floats(line.split("BLEU-4 score:", 1)[1])
+                if vals:
+                    score = vals[0]
+    return score
+
+
 class Summary:
     """Append-mode run log named by the config codec (CLIP-DDPM.py:509),
     optionally mirrored to a CSV with structured columns."""

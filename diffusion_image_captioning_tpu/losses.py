@@ -30,8 +30,16 @@ def series_sum_sample_mean(x_hat, x, cfg: Config):
 
 def series_sum(x_hat, x, cfg: Config):
     """Global |d| sum divided by the literal constants BATCH_SIZE*768*100
-    (CLIP-DDPM.py:80-81 hardcodes 768 and 100; we use the config values,
-    which reproduce it at defaults)."""
+    (CLIP-DDPM.py:80-81 hardcodes 768 and 100).
+
+    DELIBERATE PARITY DEVIATION (docs/PARITY.md "series_sum normalizer"):
+    we divide by the config values ``in_channel``/``sample_size`` instead of
+    the hardcoded literals. Identical at defaults (in_channel=768,
+    sample_size=100); under ``train_embedding`` (in_channel=16) or a
+    non-default sample_size the reference would still divide by 768*100 —
+    a loss-SCALE difference only (the gradient direction is unchanged), and
+    the reference itself never ran series_sum with train_embedding (no such
+    trial log exists). The config-value form is the self-consistent one."""
     return jnp.abs(x_hat - x).sum() / (cfg.batch_size * cfg.in_channel * cfg.sample_size)
 
 

@@ -77,7 +77,15 @@ def _score_bias(kcol, R: int, L: int):
     cseq = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // L
     key_ok = _dot(jnp.ones((R, 1), jnp.float32), kcol, DIMS_ABT)  # [R, R] = kcol[c]
     allowed = (rseq == cseq) & (key_ok > 0.0)
-    return jnp.where(allowed, jnp.float32(0.0), jnp.float32(-1e30))
+    bias = jnp.where(allowed, jnp.float32(0.0), jnp.float32(-1e30))
+    # Per-row any-key-valid indicator [R, 1]: rows with NO attendable key
+    # (tile-padding sequences, or a pathological all-zero mask row) must
+    # emit zero probabilities, otherwise the post-max-subtraction softmax
+    # spreads uniform 1/R weight over the ENTIRE tile — including OTHER
+    # sequences' keys — leaking forward outputs and dv/dk gradients across
+    # sequences sharing the tile (advisor finding, round 1).
+    row_ok = allowed.astype(jnp.float32).max(axis=-1, keepdims=True)
+    return bias, row_ok
 
 
 def _head_cols(flat, H: int, dh: int, part: int, h: int):
@@ -92,12 +100,12 @@ def _head_cols(flat, H: int, dh: int, part: int, h: int):
 
 
 
-def _softmax_block(qkv, bias, H, dh, h, scale):
+def _softmax_block(qkv, bias, row_ok, H, dh, h, scale):
     """Per-head masked softmax probabilities [R, R] (fp32) + (q, k, v).
 
-    ``bias`` is the precomputed [R, R] additive mask (_score_bias); the
-    1/sqrt(dh) scale is folded into q ([R, dh]) instead of scaling the
-    [R, R] score matrix."""
+    ``bias``/``row_ok`` are the precomputed [R, R] additive mask and [R, 1]
+    any-key-valid indicator (_score_bias); the 1/sqrt(dh) scale is folded
+    into q ([R, dh]) instead of scaling the [R, R] score matrix."""
     q_h = _head_cols(qkv, H, dh, 0, h)
     k_h = _head_cols(qkv, H, dh, 1, h)
     v_h = _head_cols(qkv, H, dh, 2, h)
@@ -110,12 +118,12 @@ def _softmax_block(qkv, bias, H, dh, h, scale):
     # level; docs/PERF.md.)
     s = s - s.max(axis=-1, keepdims=True)
     e = jnp.exp(s)
-    # The 1e-37 floor only matters for FULLY-masked rows (the wrapper's
-    # tile-padding sequences, whose every score is the -1e30 bias): their
-    # e.sum() is still R after max-subtraction, so real rows never see the
-    # floor; it is defense-in-depth against a 0/0 -> NaN leaking into
-    # dv/dk through the tile's column-wise reductions (NaN * 0 = NaN).
-    p = e / (e.sum(axis=-1, keepdims=True) + jnp.float32(1e-37))
+    # row_ok zeroes FULLY-masked rows (their e is uniform 1 after max
+    # subtraction — without this they'd get 1/R weight over the whole
+    # tile, crossing sequence boundaries). The 1e-37 floor is then pure
+    # defense-in-depth against a 0/0 -> NaN leaking into dv/dk through the
+    # tile's column-wise reductions (NaN * 0 = NaN).
+    p = (e * row_ok) / (e.sum(axis=-1, keepdims=True) + jnp.float32(1e-37))
     return p, q_h, k_h, v_h
 
 
@@ -127,11 +135,11 @@ def _fwd_kernel(qkv_ref, mask_ref, seed_ref, out_ref, *, H, dh, TN, L, rate):
         pltpu.prng_seed(seed_ref[0], pl.program_id(0))
     qkv = qkv_ref[:]  # [R, 3D]
     R = TN * L
-    bias = _score_bias(mask_ref[:], R, L)  # once: head-independent
+    bias, row_ok = _score_bias(mask_ref[:], R, L)  # once: head-independent
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     for h in range(H):
-        p, _, _, v_h = _softmax_block(qkv, bias, H, dh, h, scale)
+        p, _, _, v_h = _softmax_block(qkv, bias, row_ok, H, dh, h, scale)
         if rate > 0:
             p = p * _dropout_bits(p.shape, keep_scale, rate)
         o = _dot(p.astype(v_h.dtype), v_h, DIMS_AB)  # [R, dh]
@@ -149,13 +157,13 @@ def _bwd_kernel(
     qkv = qkv_ref[:]
     dout = dout_ref[:]
     R = TN * L
-    bias = _score_bias(mask_ref[:], R, L)  # once: head-independent
+    bias, row_ok = _score_bias(mask_ref[:], R, L)  # once: head-independent
     scale = 1.0 / (dh ** 0.5)
     keep_scale = 1.0 / (1.0 - rate) if rate > 0 else 1.0
     D = H * dh
     for h in range(H):
         # identical PRNG stream order as the forward: one draw per head
-        p, q_h, k_h, v_h = _softmax_block(qkv, bias, H, dh, h, scale)
+        p, q_h, k_h, v_h = _softmax_block(qkv, bias, row_ok, H, dh, h, scale)
         if rate > 0:
             drop = _dropout_bits(p.shape, keep_scale, rate)
             pd = p * drop

@@ -42,22 +42,36 @@ def init_distributed() -> bool:
     when the standard coordinator env vars are absent — single-host runs,
     tests, and this single-chip environment skip it transparently."""
     import os
+    import sys
 
-    if (
+    wants_init = bool(
         os.environ.get("COORDINATOR_ADDRESS")
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    ):
+        # Cloud TPU multi-host slices don't set a coordinator address — JAX
+        # auto-detects it from TPU metadata with the no-arg initialize().
+        # Those environments are recognizable by worker-topology env vars.
+        or os.environ.get("TPU_WORKER_HOSTNAMES")
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not wants_init:
+        return False
+    try:
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True  # already initialized (idempotent call)
+    except Exception:
+        pass
+    try:
         jax.distributed.initialize()
         return True
-    # Cloud TPU multi-host slices don't set a coordinator address — JAX
-    # auto-detects it from TPU metadata with the no-arg initialize(). Those
-    # environments are recognizable by the worker-topology env vars.
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
-    ):
-        jax.distributed.initialize()
-        return True
-    return False
+    except RuntimeError as e:
+        # Backend already up (e.g. a single-host run whose image exports
+        # TPU topology vars, or a library call after first device use):
+        # multi-host collectives are unavailable but single-host training
+        # proceeds — warn instead of killing the run.
+        print(f"init_distributed skipped: {e}", file=sys.stderr)
+        return False
 
 
 def make_mesh(

@@ -204,7 +204,10 @@ def run_val_bleu(
         if cfg.debug:
             break
     score = acc / max(n, 1)
-    summary.write(f"BLEU-4 score: {score}\n")
+    # NO trailing newline: the reference's final log write is
+    # `summary.write(f"BLEU-4 score: {...}")` (CLIP-DDPM.py:631) and the
+    # line format is byte-contractual (logs end without a newline).
+    summary.write(f"BLEU-4 score: {score}")
     summary.flush()
     return score
 
@@ -218,6 +221,8 @@ def run_flickr_training(
     seed: int = 0,
 ):
     """The full CLIP-DDPM.py program. Returns (state, history, bleu)."""
+    from diffusion_image_captioning_tpu.utils.profiling import mem_report
+
     name = model_name(cfg)
     imgs, caps, img_feat, txt_feat = flickr_data.load_combined(
         flickr8k_dir, flickr30k_dir
@@ -226,6 +231,10 @@ def run_flickr_training(
     columns = flickr_data.make_flickr_dataset(
         imgs, caps, img_feat, txt_feat, tokenizer, cfg.max_length
     )
+    # The reference snapshots memory at four pipeline milestones
+    # (mem_report() at CLIP-DDPM.py:223,447,563 plus import time); same
+    # cadence here, printed to stdout like the reference.
+    mem_report("data")
     n = len(caps)
 
     if cfg.continue_train:
@@ -254,6 +263,34 @@ def run_flickr_training(
     if cfg.continue_train:
         state = ck.restore_params_only(name, out_dir, state)
 
+    # Multi-chip training (SURVEY section 2.14; new capability): when the
+    # config asks for a real mesh, initialize multi-host if applicable,
+    # shard the whole TrainState per the DPxTP layout, and let fit() shard
+    # every batch over the data axis — GSPMD inserts the grad all-reduce.
+    mesh = None
+    if cfg.mesh_data * cfg.mesh_model > 1:
+        from diffusion_image_captioning_tpu.parallel import mesh as mesh_lib
+
+        mesh_lib.init_distributed()
+        n_dev = len(jax.devices())
+        if cfg.mesh_data * cfg.mesh_model > n_dev:
+            raise SystemExit(
+                f"mesh {cfg.mesh_data}x{cfg.mesh_model} needs "
+                f"{cfg.mesh_data * cfg.mesh_model} devices, have {n_dev}"
+            )
+        if cfg.batch_size % cfg.mesh_data:
+            raise SystemExit(
+                f"batch_size {cfg.batch_size} must divide evenly over "
+                f"mesh_data={cfg.mesh_data}"
+            )
+        mesh = mesh_lib.make_mesh(
+            data=cfg.mesh_data,
+            model=cfg.mesh_model,
+            devices=jax.devices()[: cfg.mesh_data * cfg.mesh_model],
+        )
+        state = jax.device_put(state, mesh_lib.param_shardings(state, mesh))
+    mem_report("model")
+
     summary = Summary(cfg, out_dir)
 
     def checkpoint_fn(s, tag):
@@ -264,12 +301,15 @@ def run_flickr_training(
     state, history = tr.fit(
         model, cfg, state, train_b, val_b,
         seed=seed, summary=summary, checkpoint_fn=checkpoint_fn, tx=tx,
+        mesh=mesh,
     )
+    mem_report("train")
 
     params = tr.merge_params(state.trainable, state.frozen)
     write_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
     gt = flickr_data.captions_by_image(imgs, caps)
     bleu = run_val_bleu(summary, model, cfg, params, val_b, tokenizer, gt, seed)
+    mem_report("eval")
     ck.save_val_indices(name, out_dir, val_idx)
     summary.close()
     return state, history, bleu

@@ -312,18 +312,35 @@ def fit(
                              # opt_state was init'd with (default rebuilds
                              # make_optimizer(cfg), which matches
                              # init_train_state's default usage)
+    mesh=None,               # jax.sharding.Mesh: multi-chip training. The
+                             # caller must have placed `state` with
+                             # parallel.mesh.param_shardings; batches are
+                             # sharded over the data axis here and GSPMD
+                             # inserts the grad all-reduce (over ICI on a
+                             # real slice). SURVEY section 2.14.
 ):
     """The epoch loop (CLIP-DDPM.py:515-561), host-side.
 
     Returns (state, history) where history is a list of per-epoch dicts with
     the six averaged loss scalars, matching the log line order.
     """
+    import contextlib
+
     from diffusion_image_captioning_tpu.data.prefetch import PrefetchingLoader
+    from diffusion_image_captioning_tpu.utils.profiling import StepTimer
 
     debug = cfg.debug if debug is None else debug
     tx = make_optimizer(cfg) if tx is None else tx
     train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_step(model, cfg)
+    if mesh is not None:
+        from diffusion_image_captioning_tpu.parallel import mesh as mesh_lib
+
+        prep = lambda b: mesh_lib.shard_batch(device_batch(b), mesh)  # noqa: E731
+        mesh_ctx = lambda: jax.set_mesh(mesh)  # noqa: E731
+    else:
+        prep = device_batch
+        mesh_ctx = contextlib.nullcontext
     lrs = schedules.learning_rates(cfg)
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.fold_in(key, 0x5EED)  # per-step fold happens on device
@@ -334,6 +351,7 @@ def fit(
 
     early_stopped = False
     history = []
+    timer = StepTimer()  # steps/s over train steps only (pause() at epoch ends)
     for epoch in range(cfg.epoch_num):
         if cfg.end_learning_rate != cfg.learning_rate:
             state = set_learning_rate(state, float(lrs[epoch]))
@@ -342,7 +360,9 @@ def fit(
         dyn_acc = jnp.zeros((3,), jnp.float32)
         n_train = 0
         for batch in train_batches:
-            state, metrics = train_step(state, device_batch(batch), base_key, lam)
+            with mesh_ctx():
+                state, metrics = train_step(state, prep(batch), base_key, lam)
+            timer.tick()
             for name in acc:
                 acc[name].append(metrics[name])
             n_train += 1
@@ -362,6 +382,7 @@ def fit(
                 progress_fn(epoch, n_train, metrics)
             if debug:
                 break
+        timer.pause()  # validation/checkpoint time is not step time
         train_avg = {
             name: float(jnp.mean(jnp.stack(vals))) for name, vals in acc.items()
         }
@@ -370,7 +391,8 @@ def fit(
         n_val = 0
         for batch in val_batches:
             key, k = jax.random.split(key)
-            m = eval_step(state, device_batch(batch), k, lam)
+            with mesh_ctx():
+                m = eval_step(state, prep(batch), k, lam)
             for name in val_acc:
                 val_acc[name] += float(m[name])
             n_val += 1
@@ -411,6 +433,12 @@ def fit(
 
     if not early_stopped:
         _checkpoint_guarded(checkpoint_fn, state, "final", summary)
+    if summary is not None and timer.steps_per_sec > 0:
+        # Additive observability line (not present in reference logs; the
+        # epoch-line parser keys on 'epoch ' prefixes so co-plotting is
+        # unaffected). SURVEY section 5.1 / VERDICT round-1 item 8.
+        summary.write(f"train steps/s: {timer.steps_per_sec:.3f}\n")
+        summary.flush()
     return state, history
 
 

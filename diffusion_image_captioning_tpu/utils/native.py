@@ -115,7 +115,13 @@ class NativeWordPiece:
         return ids, mask
 
 
-_engine_cache: dict[int, "NativeWordPiece"] = {}
+# Engine cache keyed by id(vocab) — but id() alone is unsafe: CPython reuses
+# freed dict addresses, so a discarded tokenizer followed by a new one whose
+# vocab dict lands at the same address would silently serve ids from the OLD
+# vocab. Each entry therefore stores the vocab object itself, which (a) keeps
+# it alive so the address can't be recycled while cached and (b) lets the
+# lookup verify identity with ``is``.
+_engine_cache: dict[int, tuple[dict, "NativeWordPiece"]] = {}
 
 
 def _native_ok(tokenizer, texts) -> bool:
@@ -135,11 +141,14 @@ def encode_batch(tokenizer, texts: list[str], max_length: int):
     data.tokenizers.WordPieceTokenizer."""
     if max_length >= 2 and _native_ok(tokenizer, texts):
         try:
-            key = id(tokenizer.vocab)
-            native = _engine_cache.get(key)
-            if native is None:
-                native = NativeWordPiece(tokenizer.vocab)
-                _engine_cache[key] = native
+            vocab = tokenizer.vocab
+            key = id(vocab)
+            entry = _engine_cache.get(key)
+            if entry is None or entry[0] is not vocab:
+                native = NativeWordPiece(vocab)
+                _engine_cache[key] = (vocab, native)
+            else:
+                native = entry[1]
             return native.encode_batch(texts, max_length)
         except Exception:
             pass

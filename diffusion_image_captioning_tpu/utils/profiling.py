@@ -84,6 +84,12 @@ class StepTimer:
                 self.total += now - self._last
         self._last = now
 
+    def pause(self) -> None:
+        """Drop the pending interval: the next tick starts a fresh one.
+        Call at epoch boundaries so validation/checkpoint time between
+        train steps doesn't pollute the step-rate estimate."""
+        self._last = None
+
     @property
     def steps_per_sec(self) -> float:
         timed = self.count - self.warmup

@@ -14,7 +14,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from diffusion_image_captioning_tpu.logging_utils import parse_epoch_lines  # noqa: E402
+from diffusion_image_captioning_tpu.logging_utils import (  # noqa: E402
+    parse_bleu,
+    parse_epoch_lines,
+)
 
 SERIES = ("train_x_t", "train_x_1", "train_prob", "val_x_t", "val_x_1", "val_prob")
 
@@ -35,19 +38,37 @@ def main() -> None:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    fig, axes = plt.subplots(2, 3, figsize=(18, 8))
+    fig, axes = plt.subplots(2, 4, figsize=(22, 8))
+    bleu_labels, bleu_scores = [], []
     for path in args.logs:
         rows = parse_epoch_lines(path)
         if not rows:
             print(f"warning: no epoch lines in {path}")
-            continue
-        epochs = [r["epoch"] for r in rows]
-        for ax, key in zip(axes.flat, SERIES):
-            ax.plot(epochs, [r[key] for r in rows], label=short_label(path))
+        else:
+            epochs = [r["epoch"] for r in rows]
+            for ax, key in zip(axes.flat, SERIES):
+                ax.plot(epochs, [r[key] for r in rows], label=short_label(path))
+        # final BLEU-4 line (CLIP-DDPM.py:631 / ipynb cell 26's score figures)
+        score = parse_bleu(path)
+        if score is not None:
+            bleu_labels.append(short_label(path, 24))
+            bleu_scores.append(score)
+            print(f"BLEU-4 {score:.4f}  {os.path.basename(path)}")
     for ax, key in zip(axes.flat, SERIES):
         ax.set_title(key)
         ax.set_xlabel("epoch")
         ax.grid(alpha=0.3)
+    bleu_ax = axes.flat[6]
+    if bleu_scores:
+        y = range(len(bleu_scores))
+        bleu_ax.barh(list(y), bleu_scores)
+        bleu_ax.set_yticks(list(y))
+        bleu_ax.set_yticklabels(bleu_labels, fontsize=5)
+        bleu_ax.set_title("final BLEU-4")
+        bleu_ax.grid(alpha=0.3, axis="x")
+    else:
+        bleu_ax.axis("off")
+    axes.flat[7].axis("off")
     axes.flat[0].legend(fontsize=6)
     fig.tight_layout()
     fig.savefig(args.out, dpi=120)

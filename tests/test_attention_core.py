@@ -67,6 +67,50 @@ class TestForward:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
 
 
+class TestFullyMaskedRow:
+    """A sequence whose mask row is ALL zero must not leak across the tile.
+
+    Pre-round-2 the kernel gave such rows uniform 1/R softmax weight over
+    the ENTIRE tile (including other sequences' keys), leaking forward
+    outputs and dv/dk gradients across sequences (advisor finding). The
+    fixed kernel zeroes those rows' probabilities: output rows are exactly
+    0 and no gradient crosses a sequence boundary. (Deliberate deviation
+    from the XLA oracle, which spreads uniform weight over the row's OWN L
+    keys — a degenerate case no tokenized batch produces: every real row
+    carries at least CLS/SEP attend bits.)
+    """
+
+    def _inputs(self):
+        qkv, mask, H, dh, L = make_inputs(N=3, seed=5)
+        mask = mask.at[1].set(0.0)  # sequence 1 fully masked
+        return qkv, mask, H, dh, L
+
+    def test_forward_masked_sequence_is_zero(self):
+        qkv, mask, H, dh, L = self._inputs()
+        out = ac.attention_core(qkv, mask, n_heads=H, seq_len=L, interpret=True)
+        rows = np.asarray(out).reshape(3, L, -1)
+        np.testing.assert_array_equal(rows[1], np.zeros_like(rows[1]))
+        # unmasked sequences match the oracle exactly
+        ref = np.asarray(ac._xla_core(qkv, mask, H=H, dh=dh, L=L)).reshape(3, L, -1)
+        np.testing.assert_allclose(rows[0], ref[0], atol=1e-5)
+        np.testing.assert_allclose(rows[2], ref[2], atol=1e-5)
+
+    def test_no_gradient_crosses_sequence_boundary(self):
+        qkv, mask, H, dh, L = self._inputs()
+
+        def f(qkv):
+            out = ac.attention_core(
+                qkv, mask, n_heads=H, seq_len=L, interpret=True
+            )
+            # cotangent only on the FULLY-MASKED sequence's outputs
+            return out.reshape(3, L, -1)[1].sum()
+
+        g = np.asarray(jax.grad(f)(qkv)).reshape(3, L, -1)
+        # zero probabilities -> zero gradient everywhere, in particular no
+        # dv/dk reaching sequences 0 and 2
+        np.testing.assert_array_equal(g, np.zeros_like(g))
+
+
 class TestBackward:
     def test_grad_matches_xla_autodiff(self):
         qkv, mask, H, dh, L = make_inputs()

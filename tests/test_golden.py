@@ -1,13 +1,18 @@
 """Golden-decode regression tests (SURVEY.md section 4, point (d)).
 
 The reference's only decode QA is eyeballing sample captions in the run
-logs; here the same idea becomes a regression pin: with fixed seeds on the
-CPU backend, the tiny model's forward logits argmax and the sampler's
-decode are deterministic — any change to model math, sampler order, or
-PRNG handling shows up as a diff. The golden ids were captured at round 1;
-if a deliberate math change invalidates them, re-capture and say why in
-the commit.
+logs; here the same idea becomes a real regression pin: with fixed seeds on
+the CPU backend, the tiny model's sampler decode and forward-logits argmax
+are deterministic, and their token ids are stored IN THE REPO
+(tests/golden_decode_ids.json, captured in round 2). Any change to model
+math, sampler order, or PRNG handling diffs against the stored ids.
+
+Re-capture procedure (only after a DELIBERATE math change — say why in the
+commit message):  python tests/capture_golden.py
 """
+
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -18,23 +23,53 @@ from diffusion_image_captioning_tpu import sample as sp
 from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
 from tests.tiny import TINY
 
+_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "golden_decode_ids.json"
+)
+
 
 @pytest.fixture(scope="module")
 def model_and_params():
     return init_denoiser(TINY, jax.random.PRNGKey(0))
 
 
-def _decode_tokens(model, params):
+@pytest.fixture(scope="module")
+def golden():
+    with open(_GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+def decode_tokens(model, params):
+    """Sampler path: 3 refinement steps from fixed-seed noise, dedup decode
+    (shared with tests/capture_golden.py)."""
     clip = jax.random.normal(jax.random.PRNGKey(11), (2, TINY.clip_dim))
     logits, _ = sp.sample_captions(
         model, TINY, params, clip, jax.random.PRNGKey(12), steps=3
     )
-    return [row.tolist() for row in sp.greedy_decode_ids(np.asarray(logits))]
+    return [
+        [int(t) for t in row]
+        for row in sp.greedy_decode_ids(np.asarray(logits))
+    ]
 
 
-def test_decode_is_deterministic(model_and_params):
+def forward_argmax(model, params):
+    """One full forward (concat fusion, CFG mask) at fixed inputs."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, TINY.max_length, TINY.dim))
+    clip = jax.random.normal(jax.random.PRNGKey(4), (2, 1, TINY.clip_dim))
+    mask = jnp.ones((2, TINY.max_length))
+    cmask = jnp.tile(jnp.asarray([1.0, 0.0]), (2, 1))
+    out = model.apply({"params": params}, x, clip, clip, mask, cmask)
+    return np.asarray(out.logits).argmax(-1).tolist()
+
+
+def test_sampler_decode_matches_golden(model_and_params, golden):
     model, params = model_and_params
-    assert _decode_tokens(model, params) == _decode_tokens(model, params)
+    assert decode_tokens(model, params) == golden["sampler_decode_ids"]
+
+
+def test_forward_argmax_matches_golden(model_and_params, golden):
+    model, params = model_and_params
+    assert forward_argmax(model, params) == golden["forward_argmax_ids"]
 
 
 def test_forward_logits_argmax_stable_under_jit(model_and_params):

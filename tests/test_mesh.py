@@ -59,3 +59,140 @@ class TestDryRun:
         from __graft_entry__ import dryrun_multichip
 
         dryrun_multichip(8)
+
+
+def _tiny_batch(cfg, rng):
+    B = cfg.batch_size
+    return {
+        "input_ids": rng.integers(
+            0, cfg.vocab_size, (B, cfg.max_length)
+        ).astype(np.int32),
+        "attention_mask": np.ones((B, cfg.max_length), np.int32),
+        "image_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
+        "text_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
+    }
+
+
+class TestDpEquivalence:
+    """The shard_map DP step must reproduce single-device semantics EXACTLY
+    (VERDICT round-1 item 3a): with the same per-shard key folds, the
+    pmean/psum reduction (matched to the loss style, spmd.py) equals a
+    single-device oracle that computes each shard's loss with its folded
+    key and combines them host-side."""
+
+    @pytest.mark.parametrize(
+        "loss_func", ["series_sum_sample_mean", "series_sum"]
+    )
+    def test_matches_single_device_oracle(self, devices, loss_func):
+        import jax.numpy as jnp
+
+        from diffusion_image_captioning_tpu import schedules, train as tr
+        from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+        from diffusion_image_captioning_tpu.parallel.spmd import (
+            make_shard_map_train_step,
+        )
+        from diffusion_image_captioning_tpu import losses
+        from tests.tiny import TINY
+
+        n_shards = 4
+        cfg = TINY.replace(batch_size=8, loss_func=loss_func)
+        model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
+        tx = tr.make_optimizer(cfg)
+        mesh = mesh_lib.make_mesh(data=n_shards, model=1, devices=devices[:n_shards])
+
+        rng = np.random.default_rng(3)
+        batch = _tiny_batch(cfg, rng)
+        key = jax.random.PRNGKey(17)
+        lam = jnp.asarray(0.3, jnp.float32)
+
+        # --- shard_map step (donates its state: build it from COPIED
+        # leaves so the oracle's state below keeps live buffers) ---
+        copy = jax.tree.map(jnp.array, params)
+        state = tr.init_train_state(cfg, copy, tx)
+        sm_step = make_shard_map_train_step(model, cfg, tx, mesh)
+        sb = mesh_lib.shard_batch(batch, mesh)
+        new_state, metrics = sm_step(state, sb, key, lam)
+
+        # --- single-device oracle with identical per-shard key folds ---
+        abar = schedules.alpha_cumprod_table(cfg)
+        state2 = tr.init_train_state(cfg, params, tx)
+        mean_style = cfg.loss_func in losses._MEAN_STYLE
+        per = cfg.batch_size // n_shards
+
+        def oracle_loss(trainable):
+            merged = tr.merge_params(trainable, state2.frozen)
+            k0 = jax.random.fold_in(key, state2.step)
+            totals, ms = [], []
+            for i in range(n_shards):
+                shard = {
+                    k: v[i * per : (i + 1) * per] for k, v in batch.items()
+                }
+                ki = jax.random.fold_in(k0, i)
+                m = tr.compute_losses(
+                    model, cfg, abar, merged,
+                    {k: jnp.asarray(v) for k, v in shard.items()},
+                    ki, lam, deterministic=False,
+                )
+                totals.append(m["total"])
+                ms.append(m)
+            combine = (
+                (lambda xs: sum(xs) / n_shards) if mean_style else sum
+            )
+            total = combine(totals)
+            metrics = {
+                k: combine([m[k] for m in ms]) for k in ms[0]
+            }
+            return total, metrics
+
+        (_, ref_metrics), grads = jax.value_and_grad(
+            oracle_loss, has_aux=True
+        )(state2.trainable)
+        import optax
+
+        updates, _ = tx.update(grads, state2.opt_state, state2.trainable)
+        ref_trainable = optax.apply_updates(state2.trainable, updates)
+
+        for k in ref_metrics:
+            np.testing.assert_allclose(
+                float(metrics[k]), float(ref_metrics[k]), rtol=2e-4,
+                err_msg=k,
+            )
+        flat_new = new_state.trainable
+        for k in ref_trainable:
+            np.testing.assert_allclose(
+                np.asarray(flat_new[k]), np.asarray(ref_trainable[k]),
+                atol=2e-5, err_msg=str(k),
+            )
+
+
+class TestMeshPipeline:
+    def test_flickr_training_on_mesh(self, devices, tmp_path):
+        """End-to-end wiring (VERDICT round-1 item 2): run_flickr_training
+        with mesh_data*mesh_model > 1 trains 2 epochs through fit on the
+        8-device CPU mesh and produces the standard artifacts."""
+        from diffusion_image_captioning_tpu import pipeline
+        from diffusion_image_captioning_tpu.config import model_name
+        from diffusion_image_captioning_tpu.data.synthetic import (
+            synthetic_flickr_dirs,
+        )
+        from tests.tiny import TINY
+
+        cfg = TINY.replace(
+            epoch_num=2,
+            mesh_data=4,
+            mesh_model=2,
+            refine_steps_eval=2,
+            refine_steps_demo=3,
+        )
+        d8k = synthetic_flickr_dirs(str(tmp_path / "flickr8k"), n=40)
+        state, hist, bleu = pipeline.run_flickr_training(
+            cfg, d8k, None, out_dir=str(tmp_path)
+        )
+        assert len(hist) == 2
+        assert np.isfinite(bleu)
+        assert int(state.step) > 0
+        # state leaves actually live on the mesh
+        emb = state.frozen[("embedding_table",)]
+        assert len(emb.sharding.device_set) == 8
+        log = (tmp_path / f"{model_name(cfg)}.txt").read_text()
+        assert "epoch 1 average" in log and "BLEU-4 score:" in log

@@ -1,13 +1,12 @@
-"""Fused-op tests: rounding-loss op (fwd/bwd vs dense) and Pallas attention
-(interpret mode vs the XLA reference)."""
+"""Fused-op tests: rounding-loss op (fwd/bwd vs dense), the Pallas guard,
+and the fused FFN block. (Attention-kernel tests live in
+test_attention_core.py — the superseded v1 kernel was retired in round 2.)"""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from diffusion_image_captioning_tpu.models.distilbert import mha_reference
-from diffusion_image_captioning_tpu.ops.attention import fused_attention
 from diffusion_image_captioning_tpu.ops.rounding import fused_logprob
 
 
@@ -102,19 +101,6 @@ class TestPallasLogprob:
         )(h, W)
         np.testing.assert_allclose(np.asarray(dh), np.asarray(ref_dh), atol=1e-4)
         np.testing.assert_allclose(np.asarray(dW), np.asarray(ref_dW), atol=1e-4)
-
-
-class TestPallasAttention:
-    @pytest.mark.parametrize("shape", [(3, 2, 6, 8), (2, 4, 18, 16)])
-    def test_interpret_matches_reference(self, shape):
-        N, H, L, dh = shape
-        q = jax.random.normal(jax.random.PRNGKey(0), shape)
-        k = jax.random.normal(jax.random.PRNGKey(1), shape)
-        v = jax.random.normal(jax.random.PRNGKey(2), shape)
-        mask = jnp.ones((N, L)).at[:, -2:].set(0.0)
-        ref = mha_reference(q, k, v, mask)
-        got = fused_attention(q, k, v, mask, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
 class TestPallasGuard:
