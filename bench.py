@@ -57,15 +57,9 @@ def main() -> None:
         # the attention kernel (at the EXACT shape the step will compile)
         # in a sacrificial subprocess first and fall back to XLA attention
         # (~5% slower step) if it doesn't come back.
-        from diffusion_image_captioning_tpu.ops.pallas_guard import (
-            attention_kernel_ok,
-        )
+        from diffusion_image_captioning_tpu.ops.pallas_guard import guard_config
 
-        if not attention_kernel_ok(
-            seq_len=cfg.fused_length, n_heads=cfg.n_heads,
-            head_dim=cfg.head_dim,
-        ):
-            cfg = cfg.replace(use_pallas_attention=False)
+        cfg = guard_config(cfg)
 
     model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
     tx = tr.make_optimizer(cfg)

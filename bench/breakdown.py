@@ -51,10 +51,24 @@ def main() -> None:
     from diffusion_image_captioning_tpu.ops.attention_core import attention_core
     from diffusion_image_captioning_tpu.ops.rounding import fused_logprob
 
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--attn_block", type=int, default=None,
+                   help="override use_pallas_attn_block (0/1)")
+    p.add_argument("--skip", default="",
+                   help="comma list: encoder,rounding,attention,opt")
+    args = p.parse_args()
+    skip = set(args.skip.split(","))
+
     cfg = Config(epoch_num=15, rounding_weight=0.3)
+    if args.attn_block is not None:
+        cfg = cfg.replace(use_pallas_attn_block=bool(args.attn_block))
     model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
     tx = tr.make_optimizer(cfg)
-    state = tr.init_train_state(cfg, params, tx)
+    # the train step DONATES its state: build it from copied leaves so
+    # `params` stays alive for the component probes below
+    state = tr.init_train_state(cfg, jax.tree.map(jnp.array, params), tx)
 
     rng = np.random.default_rng(0)
     B, S, L = cfg.batch_size, cfg.sample_size, cfg.max_length
@@ -89,6 +103,8 @@ def main() -> None:
     print(f"full train step:        {full_ms:7.2f} ms  ({1e3/full_ms:.1f} steps/s)")
 
     # --- encoder fwd / fwd+bwd (the fused S*B+B forward of the step) ---
+    if "encoder" in skip:
+        return
     N = S * B + B
     Lf = cfg.fused_length
     x = jax.random.normal(jax.random.PRNGKey(2), (N, L, cfg.in_channel), jnp.float32)
@@ -115,6 +131,8 @@ def main() -> None:
     print(f"encoder fwd+bwd:        {timed(enc_grad, params, x):7.2f} ms")
 
     # --- rounding loss ---
+    if "rounding" in skip:
+        return
     M = N * L
     h = jax.random.normal(jax.random.PRNGKey(3), (M, cfg.dim), jnp.float32)
     W = params["lm_head_kernel"]
@@ -133,6 +151,8 @@ def main() -> None:
     print(f"rounding fwd+bwd dh,dW: {timed(r_grad_w, h, W):7.2f} ms")
 
     # --- attention core per call ---
+    if "attention" in skip:
+        return
     D = cfg.dim
     qkv = jax.random.normal(
         jax.random.PRNGKey(4), (N * Lf, 3 * D), jnp.bfloat16
@@ -151,18 +171,18 @@ def main() -> None:
     print(f"attention fwd/call:     {timed(a_fwd, qkv):7.2f} ms")
     print(f"attention fwd+bwd/call: {timed(a_grad, qkv):7.2f} ms")
 
-    # --- bare optimizer ---
-    grads = jax.tree.map(jnp.ones_like, state.trainable)
+    # --- bare optimizer (on `st`: the ORIGINAL state was donated away) ---
+    grads = jax.tree.map(jnp.ones_like, st.trainable)
 
     @jax.jit
-    def opt(st, g):
-        updates, opt_state = tx.update(g, st.opt_state, st.trainable)
-        return st.replace(
-            trainable=jax.tree.map(lambda a, b: a + b, st.trainable, updates),
+    def opt(s, g):
+        updates, opt_state = tx.update(g, s.opt_state, s.trainable)
+        return s.replace(
+            trainable=jax.tree.map(lambda a, b: a + b, s.trainable, updates),
             opt_state=opt_state,
         )
 
-    print(f"optimizer update:       {timed(opt, state, grads):7.2f} ms")
+    print(f"optimizer update:       {timed(opt, st, grads):7.2f} ms")
 
 
 if __name__ == "__main__":

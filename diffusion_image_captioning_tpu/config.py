@@ -127,6 +127,11 @@ class Config:
     use_pallas_ffn: bool = False  # fused FFN fwd kernel: measured slower than
     # XLA's scheduling of the same chain in the full step (docs/PERF.md);
     # kept available for A/B on other shapes/hardware
+    use_pallas_attn_block: bool = True  # fuse the WHOLE attention half
+    # (qkv proj + attention + out proj + residual + LN) into one Pallas
+    # forward with an XLA+attention-kernel backward (ops/attn_block.py).
+    # v5e full-step A/B: 19.35 steps/s on vs 19.11 off — at the top of the
+    # run-to-run noise band, kept ON as never-slower (docs/PERF.md round 2)
     use_fused_rounding_loss: bool = True  # streamed vocab-CE kernel on TPU
     remat_denoiser: bool = False       # jax.checkpoint over encoder blocks
     fast_dropout_rng: bool = True      # rbg PRNG for dropout masks: the

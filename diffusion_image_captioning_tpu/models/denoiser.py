@@ -61,6 +61,7 @@ class CLIPDiffusionLM(nn.Module):
             dtype=dtype,
             use_fused_core=cfg.use_pallas_attention,
             use_fused_ffn=cfg.use_pallas_ffn,
+            use_fused_attn_block=cfg.use_pallas_attn_block,
             remat=cfg.remat_denoiser,
             name="encoder",
         )

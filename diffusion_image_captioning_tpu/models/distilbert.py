@@ -153,27 +153,35 @@ class TransformerBlock(nn.Module):
     initializer_range: float = 0.02
     use_fused_core: bool = True
     use_fused_ffn: bool = False
+    use_fused_attn_block: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic: bool):
         """x: FLAT [N*L, D]; mask [N, L]. Output flat."""
         from diffusion_image_captioning_tpu.ops.ffn_block import ffn_ln_block
 
-        attn_out = MultiHeadSelfAttention(
-            dim=self.dim,
-            n_heads=self.n_heads,
-            dropout=self.attention_dropout,
-            dtype=self.dtype,
-            initializer_range=self.initializer_range,
-            use_fused_core=self.use_fused_core,
-            name="attention",
-        )(x, mask, deterministic)
-        x = nn.LayerNorm(
-            epsilon=self.layer_norm_eps,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="sa_layer_norm",
-        )(x + attn_out)
+        if self.use_fused_attn_block:
+            # Whole attention half as ONE fused op (ops/attn_block.py).
+            # Param holders reproduce the exact tree the unfused modules
+            # create ({attention: {qkv_lin, out_lin}}, sa_layer_norm) so
+            # checkpoints and the HF converter are layout-invariant.
+            x = self._fused_attn_half(x, mask, deterministic)
+        else:
+            attn_out = MultiHeadSelfAttention(
+                dim=self.dim,
+                n_heads=self.n_heads,
+                dropout=self.attention_dropout,
+                dtype=self.dtype,
+                initializer_range=self.initializer_range,
+                use_fused_core=self.use_fused_core,
+                name="attention",
+            )(x, mask, deterministic)
+            x = nn.LayerNorm(
+                epsilon=self.layer_norm_eps,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="sa_layer_norm",
+            )(x + attn_out)
 
         w1, b1 = _DenseParams(
             self.dim, self.hidden_dim, self.initializer_range, name="ffn_lin1"
@@ -190,6 +198,40 @@ class TransformerBlock(nn.Module):
             dropout_rng=rng,
             eps=self.layer_norm_eps,
             force_xla=not self.use_fused_ffn,
+        )
+
+    def _fused_attn_half(self, x, mask, deterministic: bool):
+        """qkv proj + attention + out proj + residual + LN through
+        ops/attn_block.attn_ln_block (fused Pallas fwd on TPU)."""
+        from diffusion_image_captioning_tpu.ops.attn_block import attn_ln_block
+
+        class _QkvOut(nn.Module):
+            dim: int = self.dim
+            stddev: float = self.initializer_range
+
+            @nn.compact
+            def __call__(inner):
+                wqkv, bqkv = _DenseParams(
+                    inner.dim, 3 * inner.dim, inner.stddev, name="qkv_lin"
+                )()
+                wout, bout = _DenseParams(
+                    inner.dim, inner.dim, inner.stddev, name="out_lin"
+                )()
+                return wqkv, bqkv, wout, bout
+
+        wqkv, bqkv, wout, bout = _QkvOut(name="attention")()
+        gamma, beta = _LayerNormParams(self.dim, name="sa_layer_norm")()
+        _, L = mask.shape
+        rate = self.attention_dropout if not deterministic else 0.0
+        rng = self.make_rng("dropout") if rate > 0 else None
+        return attn_ln_block(
+            x, wqkv, bqkv, wout, bout, gamma, beta, mask,
+            n_heads=self.n_heads,
+            seq_len=L,
+            dropout_rate=rate,
+            dropout_rng=rng,
+            eps=self.layer_norm_eps,
+            force_xla=not self.use_fused_core,
         )
 
 
@@ -213,6 +255,7 @@ class DenoiserEncoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_fused_core: bool = True
     use_fused_ffn: bool = False
+    use_fused_attn_block: bool = False
     remat: bool = False
 
     @nn.compact
@@ -256,6 +299,7 @@ class DenoiserEncoder(nn.Module):
                 initializer_range=self.initializer_range,
                 use_fused_core=self.use_fused_core,
                 use_fused_ffn=self.use_fused_ffn,
+                use_fused_attn_block=self.use_fused_attn_block,
                 name=f"layer_{i}",
             )(x, mask, deterministic)
 

@@ -51,11 +51,132 @@ print("PALLAS_ATTENTION_OK")
 
 _cached: Optional[bool] = None
 
+_ATTN_BLOCK_PROBE = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+from diffusion_image_captioning_tpu.ops.attn_block import attn_ln_block
+L = {seq_len}
+D = {n_heads} * {head_dim}
+N = 8
+ks = jax.random.split(jax.random.PRNGKey(0), 8)
+x = jax.random.normal(ks[0], (N * L, D), jnp.bfloat16)
+args = (
+    jax.random.normal(ks[1], (D, 3 * D)) * 0.05,
+    jnp.zeros((3 * D,)),
+    jax.random.normal(ks[2], (D, D)) * 0.05,
+    jnp.zeros((D,)),
+    jnp.ones((D,)),
+    jnp.zeros((D,)),
+)
+mask = jnp.ones((N, L), jnp.float32)
+f = lambda x, rate, rng: attn_ln_block(
+    x, *args, mask, n_heads={n_heads}, seq_len=L,
+    dropout_rate=rate, dropout_rng=rng,
+)
+out = jax.jit(lambda x: f(x, 0.0, None))(x)
+g = jax.jit(jax.grad(lambda x: f(x, 0.0, None).astype(jnp.float32).sum()))(x)
+key = jax.random.PRNGKey(0)
+gd = jax.jit(jax.grad(
+    lambda x: f(x, 0.1, key).astype(jnp.float32).sum()
+))(x)
+jax.block_until_ready((out, g, gd))
+print("PALLAS_ATTN_BLOCK_OK")
+"""
+
+_cached_block: Optional[bool] = None
+
+
+def attn_block_kernel_ok(
+    *,
+    seq_len: int = 18,
+    n_heads: int = 12,
+    head_dim: int = 64,
+    timeout_s: float = 1800.0,
+    verbose: bool = True,
+) -> bool:
+    """True iff the fused attention half-block kernel (ops/attn_block.py)
+    compiles AND runs (fwd + bwd + dropout bwd) within ``timeout_s`` in a
+    sacrificial child process — same watchdog rationale as
+    attention_kernel_ok (the remote Mosaic compiler can hang)."""
+    global _cached_block
+    forced = os.environ.get("DIC_ATTN_BLOCK_BACKEND", "").lower()
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    if _cached_block is not None:
+        return _cached_block
+
+    import jax
+
+    if not any(d.platform in ("tpu", "axon") for d in jax.devices()):
+        _cached_block = True
+        return _cached_block
+
+    repo = _repo_root()
+    code = _ATTN_BLOCK_PROBE.format(
+        repo=repo,
+        cache=os.path.join(repo, ".jax_cache"),
+        seq_len=seq_len,
+        n_heads=n_heads,
+        head_dim=head_dim,
+    )
+    _cached_block = _run_probe(
+        code, "PALLAS_ATTN_BLOCK_OK", timeout_s, verbose, "attn_block"
+    )
+    return _cached_block
+
+
+def _run_probe(code: str, marker: str, timeout_s: float, verbose: bool,
+               tag: str) -> bool:
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+        ok = proc.returncode == 0 and marker in proc.stdout
+        if not ok and verbose:
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print(
+                f"[pallas_guard] {tag} kernel probe FAILED "
+                f"(rc={proc.returncode}): {' | '.join(tail)}",
+                file=sys.stderr,
+            )
+    except subprocess.TimeoutExpired:
+        ok = False
+        if verbose:
+            print(
+                f"[pallas_guard] {tag} kernel compile exceeded "
+                f"{timeout_s:.0f}s — falling back to XLA",
+                file=sys.stderr,
+            )
+    return ok
+
 
 def _repo_root() -> str:
     return os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+
+
+def guard_config(cfg):
+    """Downgrade a Config's Pallas flags to XLA fallbacks for any kernel
+    whose watchdog probe does not come back — the one call every
+    long-lived TPU entry point (bench, CLIs, driver entry) makes before
+    compiling a training/eval graph in-process."""
+    if cfg.use_pallas_attention and not attention_kernel_ok(
+        seq_len=cfg.fused_length, n_heads=cfg.n_heads, head_dim=cfg.head_dim
+    ):
+        cfg = cfg.replace(use_pallas_attention=False)
+    if cfg.use_pallas_attn_block and not attn_block_kernel_ok(
+        seq_len=cfg.fused_length, n_heads=cfg.n_heads, head_dim=cfg.head_dim
+    ):
+        cfg = cfg.replace(use_pallas_attn_block=False)
+    return cfg
 
 
 def attention_kernel_ok(

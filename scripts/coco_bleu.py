@@ -60,21 +60,12 @@ def main() -> None:
     assert args.ckpt_name == model_name(cfg), (
         f"checkpoint name {args.ckpt_name!r} != config codec {model_name(cfg)!r}"
     )
-    if cfg.use_pallas_attention:
-        from diffusion_image_captioning_tpu.ops.pallas_guard import (
-            attention_kernel_ok,
-        )
+    # Guard against remote-Mosaic compile hangs (ops/pallas_guard.py):
+    # probes every enabled Pallas kernel at the EXACT shapes this config
+    # will compile and downgrades to XLA on timeout/failure.
+    from diffusion_image_captioning_tpu.ops.pallas_guard import guard_config
 
-        # probe the EXACT kernel shape training/eval will compile —
-        # fused_length depends on the fusion mode, and a different
-        # (L, heads, head_dim) is a different Mosaic program the
-        # hang-guard would otherwise never have checked
-        if not attention_kernel_ok(
-            seq_len=cfg.fused_length,
-            n_heads=cfg.n_heads,
-            head_dim=cfg.head_dim,
-        ):
-            cfg = cfg.replace(use_pallas_attention=False)
+    cfg = guard_config(cfg)
     model, _ = init_denoiser(cfg, jax.random.PRNGKey(0))
     params = tr.merge_params(state.trainable, state.frozen)
     tokenizer = build_eval_tokenizer(cfg, args.assets_dir, args.captions)
