@@ -133,6 +133,11 @@ class Config:
     # v5e full-step A/B: 19.35 steps/s on vs 19.11 off — at the top of the
     # run-to-run noise band, kept ON as never-slower (docs/PERF.md round 2)
     use_fused_rounding_loss: bool = True  # streamed vocab-CE kernel on TPU
+    rounding_save_z: bool = True  # rounding backward reads bf16 logits
+    # SAVED by the forward instead of recomputing them (one fewer full MXU
+    # pass, ~0.8 GB HBM residual at flagship shape). Only engages when the
+    # vocab head is frozen (otherwise the dW path would negate the saving);
+    # identical math — z is bf16-rounded in both variants' MXU inputs.
     remat_denoiser: bool = False       # jax.checkpoint over encoder blocks
     fast_dropout_rng: bool = True      # rbg PRNG for dropout masks: the
     # threefry default costs ~25% of a train step at this model's size

@@ -29,7 +29,9 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from diffusion_image_captioning_tpu.ops.common import DIMS_AB, DIMS_ABT, on_tpu as _on_tpu
+from diffusion_image_captioning_tpu.ops.common import (
+    DIMS_AB, DIMS_ABT, DIMS_ATB, on_tpu as _on_tpu,
+)
 
 _TILE_V = 2048
 
@@ -178,3 +180,79 @@ def _flp_bwd(tile, backend, matmul_dtype, res, g):
 
 
 fused_logprob.defvjp(_flp_fwd, _flp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# save-z variant: trade HBM for the backward's recompute matmul
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_logprob_savez(
+    h, kernel, idx,
+    tile: int = _TILE_V,
+    backend: str = "auto",
+    matmul_dtype: str = "float32",
+):
+    """fused_logprob that SAVES the logits (bf16, padded [Mp, Vp]) from the
+    forward so the backward skips its 2*M*C*V recompute matmul — one full
+    MXU pass traded for ~|M*V| bf16 of HBM (794 MB at flagship shape).
+
+    Intended for the frozen-vocab-head configuration: dh comes straight
+    from the saved z (pallas_dh_from_z); the dW cotangent is implemented
+    dense-from-z for correctness but is expensive — XLA dead-code
+    eliminates it when the head is frozen, and train.py only selects this
+    variant in that case (cfg docstring: rounding_save_z)."""
+    logp, _, _ = _forward_savez(h, kernel, idx, tile, backend, jnp.dtype(matmul_dtype))
+    return logp
+
+
+def _forward_savez(h, kernel, idx, tile, backend, dtype):
+    if backend == "pallas" or (backend == "auto" and _on_tpu()):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import (
+            pallas_logprob_savez,
+        )
+
+        return pallas_logprob_savez(h, kernel, idx, tile_v=tile, dtype=dtype)
+    # XLA fallback (tests / CPU): dense logits, bf16 storage like the kernel
+    z_f32 = _dot_f32(h, kernel, DIMS_AB, dtype)  # [M, V]
+    lse = jax.nn.logsumexp(z_f32, axis=-1)
+    tgt = jnp.take_along_axis(z_f32, idx[:, None], axis=-1)[:, 0]
+    return tgt - lse, lse, z_f32.astype(jnp.bfloat16)
+
+
+def _flpz_fwd(h, kernel, idx, tile, backend, matmul_dtype):
+    logp, lse, z = _forward_savez(
+        h, kernel, idx, tile, backend, jnp.dtype(matmul_dtype)
+    )
+    return logp, (h, kernel, idx, lse, z)
+
+
+def _flpz_bwd(tile, backend, matmul_dtype, res, g):
+    h, kernel, idx, lse, z = res
+    M = h.shape[0]
+    V = kernel.shape[1]
+    dt = jnp.dtype(matmul_dtype)
+    if backend == "pallas" or (backend == "auto" and _on_tpu()):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import (
+            pallas_dh_from_z,
+        )
+
+        dh = pallas_dh_from_z(
+            z, kernel, idx, lse, g, m_true=M, tile_v=tile, dtype=dt
+        )
+    else:
+        p = jnp.exp(z[:M, :V].astype(jnp.float32) - lse[:, None])
+        onehot = jax.nn.one_hot(idx, V, dtype=jnp.float32)
+        dz = g[:, None] * (onehot - p)
+        dh = _dot_f32(dz, kernel, DIMS_ABT, dt)
+    # dW dense-from-z: correct but costly — dead-code-eliminated whenever
+    # the vocab head is frozen (the only configuration train.py routes
+    # through this variant).
+    p_full = jnp.exp(z[:M, :V].astype(jnp.float32) - lse[:, None])
+    dz_full = g[:, None] * (jax.nn.one_hot(idx, V, dtype=jnp.float32) - p_full)
+    dW = _dot_f32(h, dz_full, DIMS_ATB, dt)
+    return dh, dW, None
+
+
+fused_logprob_savez.defvjp(_flpz_fwd, _flpz_bwd)

@@ -200,12 +200,21 @@ def compute_losses(
             # (lm-trial/main.py:187).
             prob = losses.max_prob_rounding_loss(log_1)
         elif use_fused:
-            from diffusion_image_captioning_tpu.ops.rounding import fused_logprob
+            from diffusion_image_captioning_tpu.ops.rounding import (
+                fused_logprob,
+                fused_logprob_savez,
+            )
 
             W = params["lm_head_kernel"]
             ids_all = jnp.concatenate([jnp.tile(ids, (S, 1)), ids], axis=0)
             h_all = out.hidden[:, :L].reshape(-1, out.hidden.shape[-1])
-            lp = fused_logprob(
+            head_frozen = cfg.freeze_embedding and not cfg.train_embedding
+            logprob = (
+                fused_logprob_savez
+                if (cfg.rounding_save_z and head_frozen)
+                else fused_logprob
+            )
+            lp = logprob(
                 h_all, W, ids_all.reshape(-1), 1024, "auto", cfg.compute_dtype
             ).reshape(S * B + B, L)
             prob = losses.reduce_rounding(lp[: S * B], cfg) + losses.reduce_rounding(

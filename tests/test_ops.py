@@ -103,6 +103,69 @@ class TestPallasLogprob:
         np.testing.assert_allclose(np.asarray(dW), np.asarray(ref_dW), atol=1e-4)
 
 
+class TestFusedLogprobSaveZ:
+    """Save-z rounding variant: identical values/grads to the recompute
+    path (ops/rounding.py::fused_logprob_savez)."""
+
+    def setup_method(self):
+        self.M, self.C, self.V = 12, 16, 300
+        self.h = jax.random.normal(jax.random.PRNGKey(0), (self.M, self.C))
+        self.W = jax.random.normal(jax.random.PRNGKey(1), (self.C, self.V)) * 0.3
+        self.idx = jax.random.randint(jax.random.PRNGKey(2), (self.M,), 0, self.V)
+
+    def _dense(self, h, W):
+        z = h @ W
+        return (
+            jnp.take_along_axis(z, self.idx[:, None], -1)[:, 0]
+            - jax.nn.logsumexp(z, axis=-1)
+        )
+
+    def test_forward_matches_dense(self):
+        from diffusion_image_captioning_tpu.ops.rounding import fused_logprob_savez
+
+        got = fused_logprob_savez(self.h, self.W, self.idx, 128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(self._dense(self.h, self.W)), atol=1e-5
+        )
+
+    def test_gradients_match_dense(self):
+        from diffusion_image_captioning_tpu.ops.rounding import fused_logprob_savez
+
+        g1 = jax.grad(
+            lambda h, W: fused_logprob_savez(h, W, self.idx, 128).sum(),
+            argnums=(0, 1),
+        )(self.h, self.W)
+        g2 = jax.grad(
+            lambda h, W: self._dense(h, W).sum(), argnums=(0, 1)
+        )(self.h, self.W)
+        # z is stored bf16 in this variant -> looser tolerance than the
+        # recompute path (the bwd's softmax is computed from rounded logits)
+        np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]), atol=2e-2)
+
+    def test_pallas_interpret_matches_dense(self):
+        from diffusion_image_captioning_tpu.ops.rounding_pallas import (
+            pallas_dh_from_z,
+            pallas_logprob_savez,
+        )
+
+        logp, lse, z = pallas_logprob_savez(
+            self.h, self.W, self.idx, tile_m=8, tile_v=64, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(logp), np.asarray(self._dense(self.h, self.W)), atol=1e-5
+        )
+        g = jax.random.normal(jax.random.PRNGKey(3), (self.M,))
+        dh = pallas_dh_from_z(
+            z, self.W, self.idx, lse, g, m_true=self.M, tile_m=8, tile_v=64,
+            interpret=True,
+        )
+        ref_dh = jax.grad(
+            lambda h: (self._dense(h, self.W) * g).sum()
+        )(self.h)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(ref_dh), atol=2e-2)
+
+
 class TestPallasGuard:
     """ops/pallas_guard.py: env override + off-TPU short-circuit."""
 
