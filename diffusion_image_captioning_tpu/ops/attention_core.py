@@ -43,15 +43,34 @@ from diffusion_image_captioning_tpu.ops.common import (
     dropout_bits as _dropout_bits, on_tpu,
 )
 
-_TILE_ROWS = 360  # per-program flat rows; see _tile_n
+import os
+
+# Per-program flat rows (see _tile_n) and the Mosaic scoped-VMEM budget the
+# kernels request. Round 1 shipped R=360 because R=432's backward needed
+# 16.26 MB scoped VMEM — over Mosaic's 16 MB DEFAULT — inside the full
+# train-step jit; CompilerParams(vmem_limit_bytes) lifts that default
+# (v5e has 128 MB physical VMEM; the limit exists to preserve
+# double-buffering headroom, which these single-pass-per-tile kernels
+# don't need much of). Round-2 sweep: bench/attn_tile_sweep.py.
+# Env overrides exist for that sweep only — production uses the defaults.
+_TILE_ROWS = int(os.environ.get("DIC_ATTN_TILE_ROWS", "360"))
+_VMEM_MB = int(os.environ.get("DIC_ATTN_VMEM_MB", "0"))  # 0 = Mosaic default
+
+
+def _compiler_params():
+    if not _VMEM_MB:
+        return None
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_MB * 1024 * 1024)
 
 
 def _tile_n(L: int) -> int:
     """Sequences per program: R = TN*L flat rows, kept 8-sublane-divisible.
     Measured on v5e at L=18: R=288 fwd 1.48 ms / fwd+bwd 2.20; R=432
     1.04 / 2.14 standalone but its backward's 16.26 MB scoped VMEM OOMs
-    inside the full train-step jit (limit 16 MB); R=576 OOMs standalone
-    (22.2 MB). R=360 is the largest tile that fits everywhere.
+    inside the full train-step jit at Mosaic's default 16 MB limit (lifted
+    via _VMEM_MB); R=576 OOMs standalone at that default (22.2 MB).
     L=18 -> TN=20 (R=360); L=128 -> TN=2 (R=256)."""
     TN = max(1, _TILE_ROWS // L)
     while TN > 1 and (TN * L) % 8:
@@ -208,6 +227,7 @@ def _pallas_fwd(qkv, mask, seed, *, H, dh, L, rate, interpret):
         out_specs=pl.BlockSpec(
             (R, H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed)
 
@@ -233,6 +253,7 @@ def _pallas_bwd(qkv, mask, seed, dout, *, H, dh, L, rate, interpret):
         out_specs=pl.BlockSpec(
             (R, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed, dout)
 

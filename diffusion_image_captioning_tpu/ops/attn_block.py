@@ -36,23 +36,16 @@ import jax.numpy as jnp
 
 from diffusion_image_captioning_tpu.ops.attention_core import (
     _bwd_kernel as _attn_bwd_kernel,
+    _compiler_params,
     _score_bias,
     _softmax_block,
+    _tile_n,
     _xla_core,
 )
 from diffusion_image_captioning_tpu.ops.common import (
     DIMS_AB, DIMS_ABT, DIMS_ATB, dot_f32 as _dot,
     dropout_bits as _dropout_bits, on_tpu,
 )
-
-_TILE_ROWS = 360  # flat rows per program — see attention_core._tile_n
-
-
-def _tile_n(L: int) -> int:
-    TN = max(1, _TILE_ROWS // L)
-    while TN > 1 and (TN * L) % 8:
-        TN -= 1
-    return TN
 
 
 def _ln_stats(z_f32, eps):
@@ -152,6 +145,7 @@ def _pallas_fwd(x, wqkv, bqkv, wout, bout, gamma, beta, mask, seed,
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(tile(D), tile(3 * D), tile(D), tile(D)),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(
         x,
@@ -188,6 +182,7 @@ def _pallas_attn_bwd(qkv, mask, seed, dctx, *, H, dh, TN, L, rate, interpret):
         out_specs=pl.BlockSpec(
             (R, 3 * H * dh), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(qkv, mask.astype(jnp.float32).reshape(N * L, 1), seed, dctx)
 
