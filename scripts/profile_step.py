@@ -67,7 +67,7 @@ def capture(out_dir: str, steps: int) -> None:
     jax.profiler.stop_trace()
 
 
-def parse(out_dir: str, steps: int) -> None:
+def parse(out_dir: str, steps: int, top: int = 0) -> None:
     traces = sorted(glob.glob(os.path.join(out_dir, "**", "*.trace.json.gz"),
                               recursive=True))
     if not traces:
@@ -97,24 +97,41 @@ def parse(out_dir: str, steps: int) -> None:
         fam = re.sub(r"[.\d]+$", "", name)
         tot[fam] += e["dur"]
         cnt[fam] += 1
+    per_op = collections.defaultdict(float)
+    op_n = collections.Counter()
+    for e in evs:
+        if e.get("ph") != "X" or e["pid"] not in dev_pids:
+            continue
+        name = e["name"]
+        if name.isdigit() or name.startswith("jit_"):
+            continue
+        per_op[name] += e["dur"]
+        op_n[name] += 1
     print(f"device module wall: {wall/steps/1e3:.2f} ms/step")
     print(f"{'family':<40} {'ms/step':>8} {'ops/step':>9}")
     for fam, d in sorted(tot.items(), key=lambda kv: -kv[1])[:25]:
         print(f"{fam[:40]:<40} {d/steps/1e3:8.3f} {cnt[fam]/steps:9.1f}")
+    if top:
+        print(f"\ntop {top} individual ops:")
+        print(f"{'op':<40} {'ms/step':>8} {'calls/step':>11}")
+        for name, d in sorted(per_op.items(), key=lambda kv: -kv[1])[:top]:
+            print(f"{name[:40]:<40} {d/steps/1e3:8.3f} {op_n[name]/steps:11.1f}")
 
 
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--steps", type=int, default=5)
     p.add_argument("--out", default="/tmp/jaxtrace")
+    p.add_argument("--top", type=int, default=0,
+                   help="also print the top-N individual ops")
     p.add_argument("--parse", default=None,
                    help="skip capture; parse an existing trace dir")
     args = p.parse_args()
     if args.parse:
-        parse(args.parse, args.steps)
+        parse(args.parse, args.steps, args.top)
         return
     capture(args.out, args.steps)
-    parse(args.out, args.steps)
+    parse(args.out, args.steps, args.top)
 
 
 if __name__ == "__main__":
