@@ -4,10 +4,11 @@ Two tokenizer families mirror the reference's (CLIP-DDPM.py:132-165, 181-188):
 
   * ``DictTokenizer`` over a caption-built vocabulary {START:0, END:1, UNK:2,
     PAD:3, word:...} keeping words with frequency > 10 — used by the
-    TRAIN_EMBEDDING path. The reference tokenizes with spaCy's English rules;
-    spaCy is not a dependency here, so ``word_tokenize`` reimplements the
-    relevant behavior (lowercase, punctuation split off words) in plain
-    regex — same vocabulary statistics, zero external deps.
+    TRAIN_EMBEDDING path. The reference tokenizes with spaCy's blank
+    English rule tokenizer; ``word_tokenize`` delegates to
+    ``data.spacy_en``, a clean-room implementation of that documented
+    rule algorithm (contraction exceptions, affix peeling, infixes) with
+    zero external deps.
   * ``WordPieceTokenizer``: a from-scratch BERT-style WordPiece encoder/
     decoder (greedy longest-match-first over a vocab.txt) that is drop-in
     compatible with HF's DistilBertTokenizer when given the same vocab file
@@ -26,32 +27,26 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
-# Words / numbers / single punctuation — the practical effect of spaCy's
-# English tokenizer on caption text (letters+digits stay together, trailing
-# punctuation splits off).
-_WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\sA-Za-z0-9]")
-
+from diffusion_image_captioning_tpu.data.spacy_en import (
+    tokenize as _spacy_en_tokenize,
+)
 
 def word_tokenize(text: str) -> list[str]:
-    """Regex stand-in for spaCy's English tokenizer (the reference builds
-    its TRAIN_EMBEDDING vocab with ``spacy.load('en_core_web_sm')``,
-    CLIP-DDPM.py:132-141; spaCy is not installed in this environment).
+    """The reference's per-caption tokenization (CLIP-DDPM.py:132-142:
+    blank ``spacy.lang.en.English()`` tokenizer, then ``.lower()`` per
+    token), via the clean-room rule engine in ``data.spacy_en``.
 
-    KNOWN DIVERGENCES from spaCy's rules (only the freq>10 vocab of the
-    train_embedding path can be affected; the WordPiece path never uses
-    this):
-      * contractions stay whole here ("don't", "man's") where spaCy emits
-        exception splits ("do"+"n't", "man"+"'s") — a caption corpus with
-        >10 occurrences of a contraction yields different vocab entries;
-      * hyphenated compounds split into three tokens here ("well-known" ->
-        "well","-","known"); spaCy's infix rules do the same for letters
-        but KEEP digit-adjacent hyphens ("mid-1980s") as one token;
-      * multi-char symbols/emoticons split per char here, single token in
-        spaCy's tokenizer exceptions.
-    ``scripts/vocab_diff.py`` (and tests/test_data.py's spaCy-gated test)
-    measure the real divergence whenever spaCy + caption data are present.
+    Round 1 shipped a regex stand-in with documented divergences
+    (contractions kept whole, digit-adjacent hyphens split, emoticons
+    split per char); ``spacy_en`` now reproduces spaCy's documented
+    behavior on all three classes (tests/test_spacy_en.py). Residual
+    risk is exception-TABLE completeness, not algorithm: an exotic form
+    missing from the table stays one unsplit token. The spaCy-gated
+    corpus test (tests/test_data.py) and ``scripts/vocab_diff.py``
+    quantify true divergence whenever spaCy + real captions appear.
+    Only the TRAIN_EMBEDDING freq>10 vocab uses this path.
     """
-    return [m.group(0).lower() for m in _WORD_RE.finditer(text)]
+    return [tok.lower() for tok in _spacy_en_tokenize(text)]
 
 
 def split_sentences(tokens: list[str]) -> list[list[str]]:
