@@ -28,7 +28,11 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden_decode_id
 
 def capture() -> dict:
     from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
-    from tests.test_golden import decode_tokens, forward_argmax
+    from tests.test_golden import (
+        decode_tokens,
+        forward_argmax,
+        train_loss_trajectory,
+    )
     from tests.tiny import TINY
 
     model, params = init_denoiser(TINY, jax.random.PRNGKey(0))
@@ -36,6 +40,7 @@ def capture() -> dict:
         "backend": jax.default_backend(),
         "sampler_decode_ids": decode_tokens(model, params),
         "forward_argmax_ids": forward_argmax(model, params),
+        "train_loss_trajectory": train_loss_trajectory(),
     }
 
 

@@ -52,6 +52,37 @@ def decode_tokens(model, params):
     ]
 
 
+def train_loss_trajectory():
+    """5 fixed-seed train steps on a fixed synthetic batch: pins q-sample,
+    loss semantics, CFG masking, AdamW and the LR schedule in one number
+    series (shared with tests/capture_golden.py)."""
+    from diffusion_image_captioning_tpu import train as tr
+
+    model, params = init_denoiser(TINY, jax.random.PRNGKey(0))
+    tx = tr.make_optimizer(TINY)
+    state = tr.init_train_state(TINY, params, tx)
+    step = tr.make_train_step(model, TINY, tx)
+    rng = np.random.default_rng(7)
+    B = TINY.batch_size
+    batch = {
+        "input_ids": rng.integers(
+            0, TINY.vocab_size, (B, TINY.max_length)
+        ).astype(np.int32),
+        "attention_mask": np.ones((B, TINY.max_length), np.int32),
+        "image_clip": rng.normal(size=(B, TINY.clip_dim)).astype(np.float32),
+        "text_clip": rng.normal(size=(B, TINY.clip_dim)).astype(np.float32),
+    }
+    lam = jnp.asarray(TINY.rounding_weight, jnp.float32)
+    key = jax.random.PRNGKey(21)
+    out = []
+    for _ in range(5):
+        state, m = step(state, batch, key, lam)
+        out.append(
+            [float(m[k]) for k in ("x_t_loss", "x_1_loss", "prob_loss", "total")]
+        )
+    return out
+
+
 def forward_argmax(model, params):
     """One full forward (concat fusion, CFG mask) at fixed inputs."""
     x = jax.random.normal(jax.random.PRNGKey(3), (2, TINY.max_length, TINY.dim))
@@ -70,6 +101,17 @@ def test_sampler_decode_matches_golden(model_and_params, golden):
 def test_forward_argmax_matches_golden(model_and_params, golden):
     model, params = model_and_params
     assert forward_argmax(model, params) == golden["forward_argmax_ids"]
+
+
+def test_train_loss_trajectory_matches_golden(golden):
+    got = train_loss_trajectory()
+    want = golden["train_loss_trajectory"]
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6,
+        err_msg="training math diverged from the stored trajectory; if the "
+        "change is deliberate, re-capture via tests/capture_golden.py and "
+        "say why in the commit",
+    )
 
 
 def test_forward_logits_argmax_stable_under_jit(model_and_params):
