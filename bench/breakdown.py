@@ -61,9 +61,16 @@ def main() -> None:
     args = p.parse_args()
     skip = set(args.skip.split(","))
 
-    cfg = Config(epoch_num=15, rounding_weight=0.3)
+    from diffusion_image_captioning_tpu.ops.pallas_guard import guard_config
+
+    # guard_config probes each enabled Pallas kernel in a watchdogged
+    # subprocess first — a fresh/changed kernel form can HANG the remote
+    # Mosaic compiler, which would wedge this in-process probe otherwise
+    cfg = guard_config(Config(epoch_num=15, rounding_weight=0.3))
     if args.attn_block is not None:
         cfg = cfg.replace(use_pallas_attn_block=bool(args.attn_block))
+        if args.attn_block:
+            cfg = guard_config(cfg)
     model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
     tx = tr.make_optimizer(cfg)
     # the train step DONATES its state: build it from copied leaves so

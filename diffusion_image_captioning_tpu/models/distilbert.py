@@ -19,8 +19,9 @@ reproduces (clean-room, in Flax linen):
     the optimizer partition can exclude it.
 
 TPU-first choices: everything is static-shape; compute dtype is bf16 with fp32
-params and fp32 LayerNorm statistics; attention can route through the Pallas
-fused kernel (ops/attention.py) or plain XLA einsum (identical math).
+params and fp32 LayerNorm statistics; the attention half routes through the
+fused Pallas half-block (ops/attn_block.py), the attention-only Pallas core
+(ops/attention_core.py), or plain XLA einsum (identical math).
 """
 
 from __future__ import annotations

@@ -66,12 +66,17 @@ def init_distributed() -> bool:
         jax.distributed.initialize()
         return True
     except RuntimeError as e:
-        # Backend already up (e.g. a single-host run whose image exports
-        # TPU topology vars, or a library call after first device use):
-        # multi-host collectives are unavailable but single-host training
-        # proceeds — warn instead of killing the run.
-        print(f"init_distributed skipped: {e}", file=sys.stderr)
-        return False
+        # Tolerate ONLY the already-up cases (a second initialize, or a
+        # library call after first device use on a single-host image that
+        # exports topology vars): warn and proceed single-host. Any OTHER
+        # failure on a multi-host slice (unreachable coordinator, timeout)
+        # must abort — proceeding would let every host train an
+        # independent copy and overwrite the same run artifacts.
+        msg = str(e).lower()
+        if "already" in msg or "before" in msg:
+            print(f"init_distributed skipped: {e}", file=sys.stderr)
+            return False
+        raise
 
 
 def make_mesh(

@@ -209,9 +209,14 @@ def compute_losses(
             ids_all = jnp.concatenate([jnp.tile(ids, (S, 1)), ids], axis=0)
             h_all = out.hidden[:, :L].reshape(-1, out.hidden.shape[-1])
             head_frozen = cfg.freeze_embedding and not cfg.train_embedding
+            # save-z only pays in the BACKWARD (reads the stored bf16
+            # logits instead of recomputing h @ W); under an eval step
+            # there is no backward, and the multi-output pallas_call
+            # can't be partially DCE'd — choosing it would write ~800 MB
+            # of dead logits per val batch at flagship shape.
             logprob = (
                 fused_logprob_savez
-                if (cfg.rounding_save_z and head_frozen)
+                if (cfg.rounding_save_z and head_frozen and not deterministic)
                 else fused_logprob
             )
             lp = logprob(
@@ -391,7 +396,10 @@ def fit(
                 progress_fn(epoch, n_train, metrics)
             if debug:
                 break
-        timer.pause()  # validation/checkpoint time is not step time
+        # Drain the async dispatch queue into the step-time total (the
+        # in-epoch ticks only measure enqueue rate), then stop the clock:
+        # validation/checkpoint time is not step time.
+        timer.drain(metrics["total"] if n_train else None)
         train_avg = {
             name: float(jnp.mean(jnp.stack(vals))) for name, vals in acc.items()
         }

@@ -115,23 +115,29 @@ class NativeWordPiece:
         return ids, mask
 
 
-# Engine cache keyed by id(vocab) — but id() alone is unsafe: CPython reuses
-# freed dict addresses, so a discarded tokenizer followed by a new one whose
-# vocab dict lands at the same address would silently serve ids from the OLD
-# vocab. Each entry therefore stores the vocab object itself, which (a) keeps
-# it alive so the address can't be recycled while cached and (b) lets the
-# lookup verify identity with ``is``.
-_engine_cache: dict[int, tuple[dict, "NativeWordPiece"]] = {}
+# Single-entry engine cache holding (vocab, engine). Storing the vocab
+# object keeps it alive and makes the ``is`` identity check sound (a bare
+# id() key could collide with a recycled dict address — round-1 advisor
+# finding); a SINGLE entry bounds memory (an id-keyed dict of strong refs
+# would pin every vocab ever seen). Real pipelines use one tokenizer;
+# alternating tokenizers just rebuild the engine (~ms for BERT vocab).
+_engine_cache: tuple[dict, "NativeWordPiece"] | None = None
 
 
 def _native_ok(tokenizer, texts) -> bool:
     """The C++ engine implements exactly the lowercase=True / max_chars=100
-    / ASCII configuration. Refuse silently-divergent inputs: the engine
-    picked must never depend on toolchain presence AND input content giving
-    different ids."""
+    / ASCII configuration — and, unlike WordPieceTokenizer.tokenize_ids,
+    it does NOT keep special tokens appearing in text whole. Refuse
+    silently-divergent inputs: the engine picked must never depend on
+    toolchain presence AND input content giving different ids."""
     if not (tokenizer.lowercase and tokenizer.max_chars == 100):
         return False
-    return all(t.isascii() for t in texts)
+    specials = tuple(
+        t for t in tokenizer.SPECIAL_TOKENS if t in tokenizer.vocab
+    )
+    return all(
+        t.isascii() and not any(s in t for s in specials) for t in texts
+    )
 
 
 def encode_batch(tokenizer, texts: list[str], max_length: int):
@@ -141,15 +147,11 @@ def encode_batch(tokenizer, texts: list[str], max_length: int):
     data.tokenizers.WordPieceTokenizer."""
     if max_length >= 2 and _native_ok(tokenizer, texts):
         try:
+            global _engine_cache
             vocab = tokenizer.vocab
-            key = id(vocab)
-            entry = _engine_cache.get(key)
-            if entry is None or entry[0] is not vocab:
-                native = NativeWordPiece(vocab)
-                _engine_cache[key] = (vocab, native)
-            else:
-                native = entry[1]
-            return native.encode_batch(texts, max_length)
+            if _engine_cache is None or _engine_cache[0] is not vocab:
+                _engine_cache = (vocab, NativeWordPiece(vocab))
+            return _engine_cache[1].encode_batch(texts, max_length)
         except Exception:
             pass
     n = len(texts)

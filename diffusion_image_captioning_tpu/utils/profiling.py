@@ -90,6 +90,22 @@ class StepTimer:
         train steps doesn't pollute the step-rate estimate."""
         self._last = None
 
+    def drain(self, value=None) -> None:
+        """Block until ``value`` (the last dispatched step's outputs) is
+        ready, charge the wait to the accumulated step time, then pause.
+
+        REQUIRED before reading ``steps_per_sec`` when steps are
+        dispatched asynchronously (jax.jit): plain ticks then measure
+        host ENQUEUE rate, not device step rate — the queued device work
+        all drains here. (Found via the checked-in run log recording
+        228 'steps/s' for a run bench.py measures at ~20.)"""
+        if value is not None:
+            jax.block_until_ready(value)
+        now = time.perf_counter()
+        if self._last is not None and self.count > self.warmup:
+            self.total += now - self._last
+        self._last = None
+
     @property
     def steps_per_sec(self) -> float:
         timed = self.count - self.warmup

@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Reproduce the correlated-synthetic-world training-quality run.
+
+This is the checked-in driver for the `runs/flagship_synthetic_correlated_*`
+artifacts (previously an ad-hoc probe): flagship config, 800-image
+correlated world (data/synthetic.py — captions deterministically encode
+their CLIP features so from-noise BLEU measures real conditioning), full
+reference-format log + BLEU. Used as the training-quality regression gate:
+the loss trajectory must reproduce the archived logs to ~3 significant
+digits on a math-identical tree (runs/README.md).
+
+    python scripts/run_correlated_world.py --epochs 32 --out runs_new
+
+Runs on whatever backend JAX selects (the real TPU by default here);
+~25 min for 32 epochs on one v5e chip.
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=32)
+    p.add_argument("--images", type=int, default=800)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--world_dir", default="/tmp/corrworld_ck")
+    p.add_argument("--out", default=".")
+    p.add_argument("--name", default=None,
+                   help="rename the log to runs/-style <name>.txt after")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
+    )
+    from diffusion_image_captioning_tpu import pipeline
+    from diffusion_image_captioning_tpu.config import Config, model_name
+    from diffusion_image_captioning_tpu.data.synthetic import (
+        synthetic_correlated_flickr_dir,
+    )
+
+    cfg = Config(
+        epoch_num=args.epochs,
+        rounding_weight=0.3,
+        train_set_ratio=0.95,
+        early_stop_ratio=1.02,
+    )
+    d = synthetic_correlated_flickr_dir(args.world_dir, n_images=args.images,
+                                        seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    pipeline.run_flickr_training(cfg, d, None, out_dir=args.out)
+    wall = time.time() - t0
+    log = os.path.join(args.out, model_name(cfg) + ".txt")
+    print(f"wall: {wall:.0f} s; log: {log}")
+    if args.name:
+        dst = os.path.join(args.out, args.name + ".txt")
+        shutil.copyfile(log, dst)
+        print(f"copied to {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -45,3 +45,34 @@ def test_encode_batch_fallback_path(tok):
     assert ids.shape == (4, 12)
     ids0, mask0 = t.encode(texts[0], 12)
     np.testing.assert_array_equal(ids[0], ids0)
+
+
+def test_special_token_texts_use_python_path(tok):
+    """tokenize_ids keeps special tokens in text whole (HF behavior); the
+    C++ basic_tokenize splits them. _native_ok must therefore refuse such
+    texts so engine choice never changes ids (round-2 review finding)."""
+    t, _ = tok
+    texts = ["a photo of [SEP] marker", "clean caption"]
+    assert not native._native_ok(t, texts)
+    ids, mask = native.encode_batch(t, texts, max_length=12)
+    for i, s in enumerate(texts):
+        want_ids, want_mask = t.encode(s, 12)
+        np.testing.assert_array_equal(ids[i], want_ids)
+        np.testing.assert_array_equal(mask[i], want_mask)
+    # and the clean batch still qualifies for the native engine
+    assert native._native_ok(t, ["a clean caption"])
+
+
+def test_engine_cache_single_entry_rebuilds(tok):
+    """The single-entry cache must rebuild on a different vocab object and
+    not serve ids from a previously cached one."""
+    if native.load() is None:
+        pytest.skip("g++ unavailable")
+    t, texts = tok
+    native.encode_batch(t, texts[:1], max_length=12)
+    t2 = WordPieceTokenizer(dict(t.vocab))  # equal content, new object
+    ids, _ = native.encode_batch(t2, texts[:1], max_length=12)
+    want, _ = t2.encode(texts[0], 12)
+    np.testing.assert_array_equal(ids[0], want)
+    assert native._engine_cache is not None
+    assert native._engine_cache[0] is t2.vocab
