@@ -128,7 +128,6 @@ def bench_samplers(model, cfg, params, batch_size: int = 64, iters: int = 20):
         jax.random.PRNGKey(5), (batch_size, cfg.clip_dim), jnp.float32
     )
     abar = schedules.alpha_cumprod_table(cfg)
-    tables = schedules.posterior_tables(cfg)
 
     def timed(fn):
         out = fn(jax.random.PRNGKey(0))  # compile
@@ -157,7 +156,7 @@ def bench_samplers(model, cfg, params, batch_size: int = 64, iters: int = 20):
     lat["ancestral100_ms_b64"] = round(
         timed(
             lambda k: sp.ancestral_sample(
-                model, cfg, params, tables, clip, k, steps=100
+                model, cfg, params, abar, clip, k, steps=100
             )[0]
         ),
         2,

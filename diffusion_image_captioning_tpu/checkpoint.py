@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Optional
 
 import jax
@@ -60,25 +61,62 @@ def save(
     }
     # meta first: restore() needs it unconditionally, so an interrupt
     # between the two writes must not leave a complete-but-unloadable
-    # checkpoint (the reverse order can: orbax finishes, meta never lands)
+    # checkpoint (the reverse order can: orbax finishes, meta never lands).
+    # tmp + os.replace = atomic: a kill mid-dump can't truncate the live
+    # meta.
     meta = {"config": json.loads(cfg.to_json())}
     if val_indices is not None:
         meta["val_indices"] = np.asarray(val_indices).tolist()
-    with open(path + ".meta.json", "w") as f:
+    with open(path + ".meta.json.tmp", "w") as f:
         json.dump(meta, f)
-    ckptr.save(path, payload, force=True)
+    os.replace(path + ".meta.json.tmp", path + ".meta.json")
+    # Never overwrite in place (force=True would DELETE the previous
+    # checkpoint before the new one is durable — a crash mid-save then
+    # loses both): write to .new, swap via renames, keep .old until the
+    # swap lands. _recover_swap() in restore() heals any crash window.
+    new, old = path + ".new", path + ".old"
+    for stale in (new, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    ckptr.save(new, payload)
     ckptr.wait_until_finished()
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(new, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return path
+
+
+def _recover_swap(path: str) -> None:
+    """Heal an interrupted save() swap: orbax's own commit is atomic, so
+    ``path.new`` either doesn't exist or is complete; prefer it, else fall
+    back to the displaced previous checkpoint at ``path.old``."""
+    if os.path.exists(path):
+        return
+    for cand in (path + ".new", path + ".old"):
+        if os.path.exists(cand):
+            os.rename(cand, path)
+            return
 
 
 def restore(
     name: str,
     directory: str = ".",
     template: Optional[TrainState] = None,
+    *,
+    skip_opt_state: bool = False,
 ) -> tuple[TrainState, Config, Optional[np.ndarray]]:
     """Restore full training state + config + val split. A ``template``
-    state (same config, fresh init) supplies the pytree structure/dtypes."""
+    state (same config, fresh init) supplies the pytree structure/dtypes.
+
+    ``skip_opt_state`` (requires a template) leaves the optimizer state
+    unread via per-leaf ``ocp.PLACEHOLDER`` — params-only resume then
+    never reads the Adam mu/nu bytes (~2x the parameter size) it would
+    immediately discard; the returned state carries the TEMPLATE's fresh
+    opt_state."""
     path = _ckpt_dir(directory, name)
+    _recover_swap(path)
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         target = {
@@ -87,8 +125,28 @@ def restore(
             "frozen": _stringify_keys(template.frozen),
             "opt_state": template.opt_state,
         }
-        payload = ckptr.restore(path, target=target)
+        if skip_opt_state:
+            # Best-effort partial restore: per-leaf ocp.PLACEHOLDER skips
+            # reading the Adam mu/nu bytes (~2x the parameter size) that
+            # params-only resume immediately discards. Orbax's
+            # StandardCheckpointer rejects PLACEHOLDER in some versions
+            # (0.11 raises 'Unsupported type: ellipsis') — fall back to a
+            # full read there; semantics are identical either way.
+            try:
+                part = dict(target)
+                part["opt_state"] = jax.tree.map(
+                    lambda _: ocp.PLACEHOLDER, template.opt_state
+                )
+                payload = ckptr.restore(path, target=part)
+                payload["opt_state"] = template.opt_state
+            except Exception:
+                payload = ckptr.restore(path, target=target)
+                payload["opt_state"] = template.opt_state
+        else:
+            payload = ckptr.restore(path, target=target)
     else:
+        if skip_opt_state:
+            raise ValueError("skip_opt_state requires a template state")
         payload = ckptr.restore(path)
     with open(path + ".meta.json") as f:
         meta = json.load(f)
@@ -107,8 +165,11 @@ def restore(
 
 def restore_params_only(name: str, directory: str, fresh_state: TrainState) -> TrainState:
     """Reference-parity resume: weights + val split restored, optimizer
-    rebuilt fresh (CLIP-DDPM.py:505-508)."""
-    state, _, _ = restore(name, directory, template=fresh_state)
+    rebuilt fresh (CLIP-DDPM.py:505-508). The checkpoint's opt_state bytes
+    are never read (skip_opt_state)."""
+    state, _, _ = restore(
+        name, directory, template=fresh_state, skip_opt_state=True
+    )
     return fresh_state.replace(trainable=state.trainable, frozen=state.frozen)
 
 

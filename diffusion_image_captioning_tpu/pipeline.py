@@ -50,25 +50,26 @@ def build_eval_tokenizer(cfg: Config, assets_dir, captions_csv=None):
         from diffusion_image_captioning_tpu.data import flickr as _fl
 
         _, caps = _fl.read_captions_csv(captions_csv)
-    if cfg.train_embedding:
-        if not caps:
-            raise SystemExit(
-                "train_embedding checkpoint: pass --captions <training csv> "
-                "to rebuild the DictTokenizer vocabulary (a checkpoint "
-                "carries no vocab; an empty one decodes everything to UNK)"
-            )
-        return DictTokenizer(build_caption_vocab(caps))
-    vocab_path = assets_dir and os.path.join(assets_dir, "vocab.txt")
-    if vocab_path and os.path.exists(vocab_path):
-        return WordPieceTokenizer.from_file(vocab_path)
-    if caps:
-        return WordPieceTokenizer(
-            build_wordpiece_vocab(caps, vocab_size=cfg.vocab_size)
+    if cfg.train_embedding and not caps:
+        raise SystemExit(
+            "train_embedding checkpoint: pass --captions <training csv> "
+            "to rebuild the DictTokenizer vocabulary (a checkpoint "
+            "carries no vocab; an empty one decodes everything to UNK)"
         )
-    raise SystemExit(
-        "no tokenizer source: pass --assets_dir with vocab.txt or "
-        "--captions <training csv> (an empty vocab decodes everything to UNK)"
-    )
+    vocab_path = assets_dir and os.path.join(assets_dir, "vocab.txt")
+    if (
+        not cfg.train_embedding
+        and not caps
+        and not (vocab_path and os.path.exists(vocab_path))
+    ):
+        raise SystemExit(
+            "no tokenizer source: pass --assets_dir with vocab.txt or "
+            "--captions <training csv> (an empty vocab decodes everything "
+            "to UNK)"
+        )
+    # Selection itself is the TRAINING builder — one precedence order, so
+    # eval can never decode with a different vocab than training built.
+    return build_tokenizer(cfg, caps, assets_dir)
 
 
 def load_clip_vision_params(enc, assets_dir, *, allow_random=False):
@@ -135,7 +136,8 @@ def write_demos(
     i = int(val_indices[0])
     text = val_columns["caption"][i] if "caption" in val_columns else val_columns["text"][i]
     summary.write(f"origin text: {text}\n")
-    summary.write("t = 999\n")
+    # byte-identical "t = 999" at the default step_tot=1000
+    summary.write(f"t = {cfg.step_tot - 1}\n")
 
     ids = jnp.asarray(val_columns["input_ids"][i : i + 1])
     mask = jnp.asarray(val_columns["attention_mask"][i : i + 1], jnp.float32)
@@ -203,6 +205,16 @@ def run_val_bleu(
         n += 1
         if cfg.debug:
             break
+    if n == 0:
+        # drop-last batching: a val split smaller than batch_size yields
+        # ZERO batches — a logged 0.0 would masquerade as a real score
+        # (and the same empty batcher disabled fit's early-stop signal)
+        print(
+            "WARNING: val split yielded no batches "
+            "(len(val) < batch_size?) — 'BLEU-4 score: 0.0' below is a "
+            "configuration artifact, not a measurement",
+            file=sys.stderr,
+        )
     score = acc / max(n, 1)
     # NO trailing newline: the reference's final log write is
     # `summary.write(f"BLEU-4 score: {...}")` (CLIP-DDPM.py:631) and the
@@ -228,6 +240,13 @@ def run_flickr_training(
         flickr8k_dir, flickr30k_dir
     )
     tokenizer = build_tokenizer(cfg, caps, assets_dir)
+    if cfg.train_embedding:
+        # Size the embedding/lm_head to the built caption vocab exactly
+        # like the reference (nn.Embedding(len(vocab_dict), ...),
+        # CLIP-DDPM.py:202-207) — the 30522 default is the WordPiece
+        # vocab. vocab_size is not a run-name-codec field, so `name`
+        # computed above is unaffected. (run_lm_trial already did this.)
+        cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
     columns = flickr_data.make_flickr_dataset(
         imgs, caps, img_feat, txt_feat, tokenizer, cfg.max_length
     )

@@ -159,7 +159,7 @@ def ancestral_sample(
     model: CLIPDiffusionLM,
     cfg: Config,
     params,
-    tables: dict,             # schedules.posterior_tables(cfg)
+    abar: jnp.ndarray,        # schedules.alpha_cumprod_table(cfg)
     image_clip: jnp.ndarray,  # [B, clip_dim]
     key: jax.Array,
     *,
@@ -177,13 +177,15 @@ def ancestral_sample(
     jump would only denoise one step's worth of noise while the loop
     advances ~T/steps timesteps). For steps == step_tot the pair
     coefficients reduce exactly to the single-step posterior_tables
-    identities. The whole loop is one lax.scan.
+    identities (pinned in test_core_math). Takes ``abar`` directly like
+    ddim_sample — the pair coefficients derive everything from alpha-bar
+    ratios, so shipping the full posterior_tables dict to device was dead
+    traffic. The whole loop is one lax.scan.
     """
     model, cfg = _eval_model(model, cfg)
     B = image_clip.shape[0]
     L, C = cfg.max_length, cfg.in_channel
     img, txt, mask, cmask = _cond_inputs(cfg, image_clip, B)
-    abar = tables["alpha_cumprod"]
 
     ladder = jnp.linspace(cfg.step_tot - 1, 0, steps + 1).astype(jnp.int32)
     t_pairs = (ladder[:-1], ladder[1:])  # (t, s) with s < t

@@ -63,3 +63,46 @@ class TestCheckpoint:
         idx = np.asarray([4, 8, 15, 16, 23, 42])
         ck.save_val_indices("run3", str(tmp_path), idx)
         np.testing.assert_array_equal(ck.load_val_indices("run3", str(tmp_path)), idx)
+
+    def test_opt_state_roundtrips(self, state, tmp_path):
+        """The module's headline claim — full resume restores optimizer
+        state — asserted leaf-for-leaf (an orbax upgrade that zeroed or
+        reordered the tuple-keyed adamw mu/nu would otherwise pass)."""
+        import jax.numpy as jnp
+
+        # make the moments non-trivial so zeros can't pass
+        bumped = jax.tree.map(
+            lambda a: a + 1.5 if isinstance(a, jnp.ndarray) and a.dtype.kind == "f" else a,
+            state.opt_state,
+        )
+        st = state.replace(opt_state=bumped)
+        ck.save(st, TINY, "run_opt", str(tmp_path))
+        restored, _, _ = ck.restore("run_opt", str(tmp_path), template=state)
+        got = jax.tree.leaves(restored.opt_state)
+        want = jax.tree.leaves(st.opt_state)
+        assert len(got) == len(want) and len(got) > 0
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_save_overwrite_keeps_previous_on_disk(self, state, tmp_path):
+        """save() must never delete the previous checkpoint before the new
+        one is durable: the swap goes through .new/.old renames and ends
+        with exactly the final dir present."""
+        p1 = ck.save(state, TINY, "run_swap", str(tmp_path))
+        st2 = state.replace(step=state.step + 1)
+        p2 = ck.save(st2, TINY, "run_swap", str(tmp_path))
+        assert p1 == p2
+        assert os.path.isdir(p2)
+        assert not os.path.exists(p2 + ".new")
+        assert not os.path.exists(p2 + ".old")
+        restored, _, _ = ck.restore("run_swap", str(tmp_path), template=state)
+        assert int(restored.step) == int(st2.step)
+
+    def test_interrupted_swap_recovers(self, state, tmp_path):
+        """Crash window between rename(path -> .old) and rename(.new ->
+        path): restore() heals from whichever complete dir remains."""
+        path = ck.save(state, TINY, "run_crash", str(tmp_path))
+        os.rename(path, path + ".old")  # simulate mid-swap kill
+        restored, _, _ = ck.restore("run_crash", str(tmp_path), template=state)
+        assert int(restored.step) == int(state.step)
+        assert os.path.isdir(path)

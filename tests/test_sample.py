@@ -105,10 +105,10 @@ class TestRestoreAtT:
 class TestAncestral:
     def test_runs_and_finite(self, model_and_params):
         model, params = model_and_params
-        tables = schedules.posterior_tables(TINY)
+        abar = schedules.alpha_cumprod_table(TINY)
         clip = jax.random.normal(jax.random.PRNGKey(6), (2, TINY.clip_dim))
         logits, x = sp.ancestral_sample(
-            model, TINY, params, tables, clip, jax.random.PRNGKey(0), steps=5
+            model, TINY, params, abar, clip, jax.random.PRNGKey(0), steps=5
         )
         assert logits.shape == (2, TINY.max_length, TINY.vocab_size)
         assert np.all(np.isfinite(np.asarray(x)))
