@@ -121,9 +121,33 @@ def _is_punct(ch: str) -> bool:
     return unicodedata.category(ch).startswith(_PUNCT_CATEGORIES)
 
 
+# HF BasicTokenizer's _is_chinese_char blocks (all 8, not just the basic
+# one — Extension A..F and the compatibility blocks split the same way)
+_CJK_BLOCKS = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F), (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF),
+    (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+)
+
+
+def _is_cjk(cp: int) -> bool:
+    return any(lo <= cp <= hi for lo, hi in _CJK_BLOCKS)
+
+
+def _is_control(ch: str) -> bool:
+    """HF _clean_text semantics: drop control/format chars (Cc/Cf) except
+    the whitespace trio, plus NUL and U+FFFD."""
+    if ch in ("\t", "\n", "\r"):
+        return False
+    if ch == "\x00" or ch == "�":
+        return True
+    return unicodedata.category(ch) in ("Cc", "Cf")
+
+
 def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
-    """BERT BasicTokenizer behavior: NFD-strip accents, lowercase, split on
-    whitespace and around punctuation/CJK."""
+    """BERT BasicTokenizer behavior: clean control chars, NFD-strip
+    accents, lowercase, split on whitespace and around punctuation/CJK
+    (all 8 of HF's _is_chinese_char blocks)."""
     text = unicodedata.normalize("NFD", text)
     out: list[str] = []
     buf: list[str] = []
@@ -134,13 +158,15 @@ def basic_tokenize(text: str, lowercase: bool = True) -> list[str]:
             buf.clear()
 
     for ch in text:
+        if _is_control(ch):
+            continue  # HF _clean_text drops these before tokenizing
         if unicodedata.category(ch) == "Mn":
             continue  # strip accents
         if lowercase:
             ch = ch.lower()
         if ch.isspace():
             flush()
-        elif _is_punct(ch) or (0x4E00 <= ord(ch) <= 0x9FFF):
+        elif _is_punct(ch) or _is_cjk(ord(ch)):
             flush()
             out.append(ch)
         else:

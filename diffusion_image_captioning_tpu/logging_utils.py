@@ -78,7 +78,14 @@ class Summary:
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, f"{self.name}.txt")
         self._owns_fh = stream is None
-        self._fh = stream if stream is not None else open(self.path, "a")
+        # explicit utf-8: raw captions land in this file and the parsers
+        # read it as utf-8 — a C-locale container default would
+        # UnicodeEncodeError mid-run on the first non-ASCII caption
+        self._fh = (
+            stream
+            if stream is not None
+            else open(self.path, "a", encoding="utf-8")
+        )
         self._csv_path = (
             os.path.join(directory, f"{self.name}.csv") if csv_mirror else None
         )
@@ -96,7 +103,7 @@ class Summary:
         if not self._csv_path:
             return
         write_header = not self._csv_started
-        with open(self._csv_path, "a", newline="") as f:
+        with open(self._csv_path, "a", newline="", encoding="utf-8") as f:
             w = csv.DictWriter(f, fieldnames=list(row.keys()))
             if write_header:
                 w.writeheader()

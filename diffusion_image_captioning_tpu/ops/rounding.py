@@ -33,7 +33,13 @@ from diffusion_image_captioning_tpu.ops.common import (
     DIMS_AB, DIMS_ABT, DIMS_ATB, on_tpu as _on_tpu,
 )
 
-_TILE_V = 2048
+# Default vocab tile. 1024 is the production-proven value (train.py, the
+# bench sweep): at tile_v=2048 the fp32-default Pallas forward's W block
+# alone is 6.3 MB double-buffered — over the ~16 MB v5e VMEM budget once
+# h/z/iota intermediates join, i.e. the library defaults would not even
+# compile on the target hardware (the failure mode is a remote Mosaic
+# error or hang, CLAUDE.md).
+_TILE_V = 1024
 
 
 def _pad_vocab(kernel: jnp.ndarray, tile: int):
@@ -241,6 +247,7 @@ def _flpz_bwd(tile, backend, matmul_dtype, res, g):
         dh = pallas_dh_from_z(
             z, kernel, idx, lse, g, m_true=M, tile_v=tile, dtype=dt
         )
+        dz = None
     else:
         p = jnp.exp(z[:M, :V].astype(jnp.float32) - lse[:, None])
         onehot = jax.nn.one_hot(idx, V, dtype=jnp.float32)
@@ -248,10 +255,12 @@ def _flpz_bwd(tile, backend, matmul_dtype, res, g):
         dh = _dot_f32(dz, kernel, DIMS_ABT, dt)
     # dW dense-from-z: correct but costly — dead-code-eliminated whenever
     # the vocab head is frozen (the only configuration train.py routes
-    # through this variant).
-    p_full = jnp.exp(z[:M, :V].astype(jnp.float32) - lse[:, None])
-    dz_full = g[:, None] * (jax.nn.one_hot(idx, V, dtype=jnp.float32) - p_full)
-    dW = _dot_f32(h, dz_full, DIMS_ATB, dt)
+    # through this variant). The XLA branch reuses its dz above rather
+    # than rebuilding the [M, V] fp32 intermediates.
+    if dz is None:
+        p = jnp.exp(z[:M, :V].astype(jnp.float32) - lse[:, None])
+        dz = g[:, None] * (jax.nn.one_hot(idx, V, dtype=jnp.float32) - p)
+    dW = _dot_f32(h, dz, DIMS_ATB, dt)
     return dh, dW, None
 
 

@@ -19,10 +19,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from diffusion_image_captioning_tpu.ops.common import DIMS_AB, DIMS_ABT, DIMS_ATB
+
 
 def _kernel(
     idx_ref, h_ref, w_ref, out_ref, lse_ref, m_acc, s_acc, t_acc,
-    *, true_v, tile_v, dtype
+    *, true_v, tile_v
 ):
     from jax.experimental import pallas as pl
 
@@ -38,7 +40,7 @@ def _kernel(
     h = h_ref[:]  # [TM, C] already in the matmul dtype (cast by the caller)
     w = w_ref[:]  # [C, TV]
     z = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        h, w, DIMS_AB, preferred_element_type=jnp.float32
     )  # [TM, TV] fp32 accumulation
     base = j * tile_v
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + base
@@ -82,7 +84,7 @@ def _dh_kernel(idx_ref, g_ref, lse_ref, h_ref, w_ref, dh_ref, acc, *, true_v, ti
     h = h_ref[:]
     w = w_ref[:]  # [C, TV]
     z = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        h, w, DIMS_AB, preferred_element_type=jnp.float32
     )
     base = j * tile_v
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + base
@@ -91,7 +93,7 @@ def _dh_kernel(idx_ref, g_ref, lse_ref, h_ref, w_ref, dh_ref, acc, *, true_v, ti
     onehot = (col == idx_ref[:, 0][:, None]).astype(jnp.float32)
     dz = g_ref[:, 0][:, None] * (onehot - p)  # [TM, TV] fp32
     acc[:] = acc[:] + jax.lax.dot_general(
-        dz.astype(w.dtype), w, (((1,), (1,)), ((), ())),
+        dz.astype(w.dtype), w, DIMS_ABT,
         preferred_element_type=jnp.float32,
     )
 
@@ -115,7 +117,7 @@ def _dw_kernel(idx_ref, g_ref, lse_ref, h_ref, w_ref, dw_ref, acc, *, true_v, ti
     h = h_ref[:]  # [TM, C]
     w = w_ref[:]  # [C, TV]
     z = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        h, w, DIMS_AB, preferred_element_type=jnp.float32
     )
     base = pl.program_id(0) * tile_v
     col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + base
@@ -124,7 +126,7 @@ def _dw_kernel(idx_ref, g_ref, lse_ref, h_ref, w_ref, dw_ref, acc, *, true_v, ti
     onehot = (col == idx_ref[:, 0][:, None]).astype(jnp.float32)
     dz = g_ref[:, 0][:, None] * (onehot - p)  # [TM, TV]
     acc[:] = acc[:] + jax.lax.dot_general(
-        h, dz.astype(h.dtype), (((0,), (0,)), ((), ())),
+        h, dz.astype(h.dtype), DIMS_ATB,
         preferred_element_type=jnp.float32,
     )  # [C, TV]
 
@@ -214,7 +216,7 @@ def pallas_logprob_bwd(
 
 def _kernel_savez(
     idx_ref, h_ref, w_ref, out_ref, lse_ref, z_ref, m_acc, s_acc, t_acc,
-    *, true_v, tile_v, dtype
+    *, true_v, tile_v
 ):
     """_kernel plus a bf16 copy of the logits tile written to HBM: the
     backward then skips its 2*M*C*V recompute matmul entirely (trading
@@ -233,7 +235,7 @@ def _kernel_savez(
     h = h_ref[:]
     w = w_ref[:]
     z = jax.lax.dot_general(
-        h, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        h, w, DIMS_AB, preferred_element_type=jnp.float32
     )
     z_ref[:] = z.astype(z_ref.dtype)
     base = j * tile_v
@@ -285,7 +287,7 @@ def _dh_from_z_kernel(
     onehot = (col == idx_ref[:, 0][:, None]).astype(jnp.float32)
     dz = g_ref[:, 0][:, None] * (onehot - p)
     acc[:] = acc[:] + jax.lax.dot_general(
-        dz.astype(w.dtype), w, (((1,), (1,)), ((), ())),
+        dz.astype(w.dtype), w, DIMS_ABT,
         preferred_element_type=jnp.float32,
     )
 
@@ -329,7 +331,7 @@ def pallas_logprob_savez(
     grid = (Mp // tile_m, Vp // tile_v)
     out, lse, z = pl.pallas_call(
         functools.partial(
-            _kernel_savez, true_v=V, tile_v=tile_v, dtype=jnp.dtype(dtype)
+            _kernel_savez, true_v=V, tile_v=tile_v
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
@@ -449,7 +451,7 @@ def pallas_logprob(
 
     grid = (Mp // tile_m, Vp // tile_v)
     out, lse = pl.pallas_call(
-        functools.partial(_kernel, true_v=V, tile_v=tile_v, dtype=jnp.dtype(dtype)),
+        functools.partial(_kernel, true_v=V, tile_v=tile_v),
         out_shape=(
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
             jax.ShapeDtypeStruct((Mp, 1), jnp.float32),

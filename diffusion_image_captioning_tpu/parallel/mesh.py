@@ -137,12 +137,11 @@ def param_shardings(tree, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put a host batch with the batch axis sharded over data."""
-    sh = batch_sharding(mesh)
-    return {
-        k: (jax.device_put(v, sh) if hasattr(v, "shape") else v)
-        for k, v in batch.items()
-    }
+    """Device-put a host batch with the batch axis sharded over data.
+    (Delegates to the single transfer loop in data/prefetch.py.)"""
+    from diffusion_image_captioning_tpu.data.prefetch import device_put_batch
+
+    return device_put_batch(batch, batch_sharding(mesh))
 
 
 def memory_stats() -> dict:

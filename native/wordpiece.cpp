@@ -45,9 +45,13 @@ void basic_tokenize(const char* text, std::vector<std::string>& out) {
   for (const unsigned char* p = (const unsigned char*)text; *p; ++p) {
     unsigned char c = *p;
     if (c < 0x80) {
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
-          c == '\v') {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
         flush();
+      } else if (c < 32 || c == 127) {
+        // HF _clean_text drops control chars (category Cc) other than
+        // the \t\n\r trio — including \f and \v, which are NOT
+        // whitespace splits: "a\fb" tokenizes as one word "ab"
+        continue;
       } else if (is_ascii_punct(c)) {
         flush();
         out.push_back(std::string(1, (char)c));

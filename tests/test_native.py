@@ -76,3 +76,18 @@ def test_engine_cache_single_entry_rebuilds(tok):
     np.testing.assert_array_equal(ids[0], want)
     assert native._engine_cache is not None
     assert native._engine_cache[0] is t2.vocab
+
+
+def test_control_char_parity(tok):
+    """HF _clean_text drops control chars; both engines must agree —
+    including \f/\v being DROPPED (one word), not whitespace splits."""
+    if native.load() is None:
+        pytest.skip("g++ unavailable")
+    t, _ = tok
+    texts = ["stray\x01control\x02chars", "form\ffeed one\vword", "del\x7fchar"]
+    assert native._native_ok(t, texts)
+    ids, mask = native.encode_batch(t, texts, max_length=12)
+    for i, s in enumerate(texts):
+        want_ids, want_mask = t.encode(s, 12)
+        np.testing.assert_array_equal(ids[i], want_ids)
+        np.testing.assert_array_equal(mask[i], want_mask)

@@ -44,6 +44,13 @@ CORPUS = [
     "",
     "a",
     "antidisestablishmentarianism fragmentation subword pieces",
+    # control chars: HF _clean_text drops Cc/Cf (incl. \f and \v — NOT
+    # whitespace splits: "a\fb" is ONE word) — round-2 review finding
+    "stray\x01control\x02chars",
+    "form\ffeed and vertical\vtab",
+    "tab\tand\nnewline survive as splits",
+    # CJK beyond the basic block: Extension A + compatibility ideographs
+    "ext-a \u3400\u3401 compat \ufa00 mixed",
 ]
 
 
