@@ -59,6 +59,16 @@ def save(
         "frozen": _stringify_keys(state.frozen),
         "opt_state": state.opt_state,
     }
+    # Host-resident leaves: device arrays would record their sharding
+    # (e.g. "TFRT_CPU_0" or a TPU mesh) in the checkpoint metadata, and a
+    # template-less restore on a DIFFERENT backend then fails inside orbax
+    # ("Device ... was not found in jax.local_devices()"). Saving numpy
+    # makes checkpoints backend-portable — train on TPU, serve/eval on CPU
+    # and vice versa — exactly the reference's torch.save(model.cpu(), ...)
+    # semantics (CLIP-DDPM.py:551). The d2h copy happens at epoch cadence.
+    payload = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, payload
+    )
     # meta first: restore() needs it unconditionally, so an interrupt
     # between the two writes must not leave a complete-but-unloadable
     # checkpoint (the reverse order can: orbax finishes, meta never lands).
@@ -147,7 +157,20 @@ def restore(
     else:
         if skip_opt_state:
             raise ValueError("skip_opt_state requires a template state")
-        payload = ckptr.restore(path)
+        try:
+            payload = ckptr.restore(path)
+        except ValueError as e:
+            if "not found in jax.local_devices" not in str(e):
+                raise
+            # Legacy checkpoint written before save() pinned host-resident
+            # leaves: its metadata names devices of the SAVING backend.
+            raise ValueError(
+                f"checkpoint {path} was written by an older save() with "
+                "device-resident leaves and cannot be template-lessly "
+                "restored on a different JAX backend; restore with a "
+                "template state (same config, fresh init) instead, or "
+                "re-save it on its original backend"
+            ) from e
     with open(path + ".meta.json") as f:
         meta = json.load(f)
     cfg = Config.from_json(json.dumps(meta["config"]))

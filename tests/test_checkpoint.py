@@ -106,3 +106,28 @@ class TestCheckpoint:
         restored, _, _ = ck.restore("run_crash", str(tmp_path), template=state)
         assert int(restored.step) == int(state.step)
         assert os.path.isdir(path)
+
+    def test_backend_portable_leaves(self, state, tmp_path):
+        """save() must write HOST-resident (numpy) leaves: device arrays
+        record their sharding in orbax metadata and a template-less
+        restore on a DIFFERENT backend then fails ("Device TFRT_CPU_0 was
+        not found in jax.local_devices()" — hit for real serving a
+        CPU-trained checkpoint on TPU). The reference's torch.save(
+        model.cpu(), ...) (CLIP-DDPM.py:551) has the same contract."""
+        ck.save(state, TINY, "run_portable", str(tmp_path))
+        restored, cfg, _ = ck.restore("run_portable", str(tmp_path))
+        leaves = jax.tree_util.tree_leaves(
+            (restored.trainable, restored.frozen, restored.opt_state)
+        )
+        assert leaves, "empty restored state"
+        for leaf in leaves:
+            assert not isinstance(leaf, jax.Array), (
+                "template-less restore returned a device array — the "
+                "checkpoint carries sharding metadata and is not "
+                "backend-portable"
+            )
+        # values survive the host round-trip exactly
+        k = next(iter(state.trainable))
+        np.testing.assert_array_equal(
+            np.asarray(restored.trainable[k]), np.asarray(state.trainable[k])
+        )
