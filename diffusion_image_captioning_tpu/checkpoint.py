@@ -66,8 +66,14 @@ def save(
     # makes checkpoints backend-portable — train on TPU, serve/eval on CPU
     # and vice versa — exactly the reference's torch.save(model.cpu(), ...)
     # semantics (CLIP-DDPM.py:551). The d2h copy happens at epoch cadence.
+    # (Multi-host meshes excepted: a leaf spanning non-addressable devices
+    # cannot be host-gathered here — leave it to orbax's distributed path;
+    # such checkpoints are restored on the same topology anyway.)
     payload = jax.tree.map(
-        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, payload
+        lambda x: np.asarray(x)
+        if isinstance(x, jax.Array) and x.is_fully_addressable
+        else x,
+        payload,
     )
     # meta first: restore() needs it unconditionally, so an interrupt
     # between the two writes must not leave a complete-but-unloadable

@@ -76,7 +76,10 @@ class CaptionService:
         from diffusion_image_captioning_tpu import sample as _sample
 
         self._cfg = cfg
-        self._params = params
+        # Device-resident once: a template-less checkpoint restore returns
+        # HOST (numpy) leaves (checkpoint.save portability contract), and
+        # feeding those to jit re-uploads every weight on every batch.
+        self._params = jax.device_put(params)
         self._tokenizer = tokenizer
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
@@ -84,12 +87,14 @@ class CaptionService:
         self._decode_ids = _sample.greedy_decode_ids
 
         def _run(params, x0, clip):
+            # sample.refine is already jit-compiled with static
+            # (model, cfg, steps) — no extra jit wrapper needed.
             logits, _, _ = _sample.refine(
                 model, cfg, params, x0, clip, steps=self._steps
             )
             return logits
 
-        self._fn = jax.jit(_run)
+        self._fn = _run
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -117,6 +122,15 @@ class CaptionService:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+        # Drain abandoned requests: a submit() racing the shutdown must
+        # error out, not block forever on its event.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            item.error = RuntimeError("CaptionService stopped")
+            item.event.set()
 
     # -- client API ---------------------------------------------------------
 
@@ -139,10 +153,38 @@ class CaptionService:
         assert item.caption is not None
         return item.caption
 
+    def submit_many(self, features: np.ndarray,
+                    seeds: Optional[Sequence[int]] = None,
+                    timeout: Optional[float] = None) -> List[str]:
+        """Enqueue K rows through the micro-batcher and wait for all of
+        them. Unlike caption_batch this keeps ALL device work on the
+        worker thread and lets concurrent callers share batches."""
+        feats = np.asarray(features, np.float32)
+        if feats.ndim != 2 or feats.shape[1] != self._cfg.clip_dim:
+            raise ValueError(f"expected [K, {self._cfg.clip_dim}] features")
+        seeds = list(seeds) if seeds is not None else list(range(len(feats)))
+        if len(seeds) != len(feats):
+            raise ValueError("seeds length must match features rows")
+        items = [_Pending(f, int(s)) for f, s in zip(feats, seeds)]
+        for it in items:
+            self._queue.put(it)
+        out: List[str] = []
+        for it in items:
+            if not it.event.wait(timeout):
+                raise TimeoutError("caption request timed out")
+            if it.error is not None:
+                raise it.error
+            assert it.caption is not None
+            out.append(it.caption)
+        return out
+
     def caption_batch(self, features: np.ndarray,
                       seeds: Optional[Sequence[int]] = None) -> List[str]:
-        """Synchronous direct path (no queue): caption [K, clip_dim] rows,
-        chunked into max_batch device calls. Used by offline/batch mode."""
+        """Synchronous OFFLINE path: caption [K, clip_dim] rows with direct
+        device calls on the caller's thread, chunked into max_batch. Meant
+        for batch jobs / tests without the worker running; a live server
+        should route through submit/submit_many so the single-worker-thread
+        contract and batch aggregation hold."""
         feats = np.asarray(features, np.float32)
         if feats.ndim != 2 or feats.shape[1] != self._cfg.clip_dim:
             raise ValueError(f"expected [K, {self._cfg.clip_dim}] features")

@@ -56,8 +56,16 @@ def build_service(args):
     return service, cfg
 
 
-def build_image_encoder(args, clip_dim):
+def build_image_encoder(args):
     """CLIP image -> feature closure (device call under a lock), or None."""
+    clip_dir = args.assets_dir and os.path.join(
+        args.assets_dir, "openai", "clip-vit-base-patch32-local"
+    )
+    if not (clip_dir and os.path.isdir(clip_dir)) and not args.allow_random_clip:
+        # No assets and no explicit smoke-test override: skip the (slow)
+        # ViT init entirely; /caption_image will report 503.
+        return None
+
     import jax.numpy as jnp
 
     from diffusion_image_captioning_tpu.data.coco import load_image_batch
@@ -89,6 +97,17 @@ def build_image_encoder(args, clip_dim):
         return np.asarray(feats)
 
     return encode
+
+
+def _seeds_for(req, n):
+    """Validated per-row seeds: default 0..n-1; an explicit list must match
+    the row count (ValueError -> HTTP 400)."""
+    seeds = req.get("seeds")
+    if seeds in (None, []):
+        return list(range(n))
+    if len(seeds) != n:
+        raise ValueError(f"seeds length {len(seeds)} != rows {n}")
+    return seeds
 
 
 def make_handler(service, run_name, encode_images):
@@ -130,13 +149,10 @@ def make_handler(service, run_name, encode_images):
                     feats = np.asarray(feats, np.float32)
                     if feats.ndim == 1:
                         feats = feats[None]
-                    seeds = req.get("seeds") or list(range(len(feats)))
-                    caps = [
-                        service.submit(f, seed=s, timeout=120.0)
-                        for f, s in zip(feats, seeds)
-                    ] if len(feats) == 1 else service.caption_batch(
-                        feats, seeds
-                    )
+                    seeds = _seeds_for(req, len(feats))
+                    # all device work rides the service's worker thread;
+                    # concurrent requests share batches
+                    caps = service.submit_many(feats, seeds, timeout=120.0)
                     return self._reply(200, {"captions": caps})
                 if self.path == "/caption_image":
                     if encode_images is None:
@@ -147,13 +163,17 @@ def make_handler(service, run_name, encode_images):
                     if not paths:
                         return self._reply(400, {"error": "missing paths"})
                     feats = encode_images(paths)
+                    seeds = _seeds_for(req, len(paths))
                     return self._reply(
                         200,
-                        {"captions": service.caption_batch(
-                            feats, req.get("seeds"))},
+                        {"captions": service.submit_many(
+                            feats, seeds, timeout=300.0)},
                     )
                 return self._reply(404, {"error": "unknown path"})
-            except (ValueError, TimeoutError) as e:
+            except TimeoutError as e:
+                # server overload, not a client error
+                return self._reply(503, {"error": str(e)})
+            except ValueError as e:
                 return self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — surface, don't crash
                 return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
@@ -177,7 +197,7 @@ def main() -> None:
     args = p.parse_args()
 
     service, cfg = build_service(args)
-    encode = build_image_encoder(args, cfg.clip_dim)
+    encode = build_image_encoder(args)
     service.start()
     server = ThreadingHTTPServer(
         (args.host, args.port),

@@ -100,6 +100,42 @@ class TestCaptionService:
         # chunking must not change row results
         assert caps[0] == service.caption_batch(feats[:1], seeds=[0])[0]
 
+    def test_submit_many_through_worker(self, service):
+        """submit_many rides the queue/worker and agrees with the direct
+        path row-for-row (per-request determinism)."""
+        feats = np.stack([_feat(30), _feat(31), _feat(32), _feat(33), _feat(34)])
+        via_queue = service.submit_many(feats, seeds=[7, 8, 9, 10, 11],
+                                        timeout=60)
+        direct = service.caption_batch(feats, seeds=[7, 8, 9, 10, 11])
+        assert via_queue == direct
+        with pytest.raises(ValueError):
+            service.submit_many(feats, seeds=[1, 2])
+
+    def test_stop_drains_pending(self):
+        """A request stranded in the queue at stop() errors out instead of
+        blocking its caller forever."""
+        model, params = init_denoiser(TINY, jax.random.PRNGKey(1))
+        svc = CaptionService(
+            model, TINY, params, IdTokenizer(), max_batch=2, max_wait_ms=5.0
+        )
+        # never started: enqueue directly, then stop() must drain
+        errors = []
+
+        def caller():
+            try:
+                svc.submit(_feat(0), timeout=30)
+            except RuntimeError as e:
+                errors.append(e)
+
+        t = threading.Thread(target=caller)
+        t.start()
+        while svc._queue.empty():  # wait for the item to land
+            pass
+        svc.stop()
+        t.join(timeout=10)
+        assert not t.is_alive()
+        assert len(errors) == 1 and "stopped" in str(errors[0])
+
     def test_validation(self, service):
         with pytest.raises(ValueError):
             service.submit(np.zeros(TINY.clip_dim + 1, np.float32))
