@@ -172,6 +172,53 @@ class TestFlickr:
         table = flickr.captions_by_image(["a", "a", "b"], ["c1", "c2", "c3"])
         assert table == {"a": ["c1", "c2"], "b": ["c3"]}
 
+    def test_load_combined_vstacks_8k_then_30k(self, tmp_path):
+        """The reference vstacks 8k then 30k (CLIP-DDPM.py:127-130,209-210);
+        load_combined must keep caption rows aligned with the concatenated
+        feature rows, either dir optional. The 30k dir uses the REAL
+        Flickr30k layout: pipe-separated captions.csv with an image_name
+        column (CLIP-DDPM.py:209-210), unlike 8k's comma captions.txt."""
+        from diffusion_image_captioning_tpu.data.synthetic import (
+            synthetic_flickr_dirs,
+        )
+
+        d8 = synthetic_flickr_dirs(str(tmp_path / "f8k"), n=12, seed=0)
+        # derive a 30k-format dir from a second synthetic world
+        src = synthetic_flickr_dirs(str(tmp_path / "src30"), n=7, seed=5)
+        d30 = str(tmp_path / "f30k")
+        os.makedirs(d30)
+        imgs30, caps30 = flickr.read_captions_csv(
+            os.path.join(src, "captions.txt")
+        )
+        with open(os.path.join(d30, "captions.csv"), "w") as f:
+            f.write("image_name| comment_number| caption\n")
+            for i, (img, cap) in enumerate(zip(imgs30, caps30)):
+                f.write(f"{img}| {i}| {cap}\n")
+        for kind in ("image_clip.npy", "text_clip.npy"):
+            np.save(
+                os.path.join(d30, kind),
+                np.load(os.path.join(src, kind)),
+            )
+        imgs, caps, img_f, txt_f = flickr.load_combined(d8, d30)
+        assert len(imgs) == len(caps) == 19
+        assert img_f.shape == (19, 512) and txt_f.shape == (19, 512)
+        # order: all 8k rows first, then 30k rows
+        i8, c8, f8, t8 = flickr.load_combined(d8, None)
+        i30, c30, f30, t30 = flickr.load_combined(None, d30)
+        assert imgs == i8 + i30
+        assert [c.strip() for c in caps] == [
+            c.strip() for c in c8 + c30
+        ]
+        np.testing.assert_array_equal(img_f, np.vstack([f8, f30]))
+        np.testing.assert_array_equal(txt_f, np.vstack([t8, t30]))
+
+    def test_load_combined_no_dirs_is_empty(self):
+        """Documented contract: both dirs absent -> empty dataset (the
+        train CLI guards this at the flag level)."""
+        imgs, caps, img_f, txt_f = flickr.load_combined(None, None)
+        assert imgs == [] and caps == []
+        assert img_f.shape == (0, 512) and txt_f.shape == (0, 512)
+
 
 class TestEvalHelpers:
     """pipeline.build_eval_tokenizer / load_clip_vision_params guard rails."""
