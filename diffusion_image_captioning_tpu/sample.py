@@ -273,8 +273,18 @@ def ddim_sample(
 def greedy_decode_ids(logits: np.ndarray) -> list[np.ndarray]:
     """argmax + consecutive-duplicate collapse, per row — the reference's
     softmax().argmax().unique_consecutive() (CLIP-DDPM.py:620-621; softmax
-    doesn't change the argmax). Host-side; rows become variable length."""
+    doesn't change the argmax). Host-side; rows become variable length.
+
+    For latency-sensitive callers, run the argmax ON DEVICE (it reduces
+    [B, L, V] to [B, L] before the d2h transfer — 30522x less traffic)
+    and collapse with dedup_consecutive: serving.CaptionService does."""
     ids = np.asarray(logits).argmax(axis=-1)
+    return dedup_consecutive(ids)
+
+
+def dedup_consecutive(ids: np.ndarray) -> list[np.ndarray]:
+    """Per-row unique_consecutive over already-argmaxed [B, L] ids."""
+    ids = np.asarray(ids)
     out = []
     for row in ids:
         keep = np.ones(len(row), bool)

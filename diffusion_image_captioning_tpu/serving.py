@@ -14,10 +14,11 @@ server must aggregate concurrent requests into one device call.
   * a micro-batching worker thread: the first pending request opens a
     window of ``max_wait_ms``; everything that arrives in the window (up
     to ``max_batch``) rides the same device call;
-  * per-request determinism: each request's initial noise is drawn
-    host-side from its OWN seed, so the caption for (features, seed) is
-    independent of batch composition (rows never interact in the
-    denoiser: attention is per-sequence, dropout is off at eval);
+  * per-request determinism: each request's initial noise is drawn on
+    device from its OWN seed (one PRNG stream per row), so the caption
+    for (features, seed) is independent of batch composition (rows never
+    interact in the denoiser: attention is per-sequence, dropout is off
+    at eval);
   * all device work stays on the single worker thread — handlers only
     enqueue and wait.
 
@@ -72,6 +73,7 @@ class CaptionService:
         steps: Optional[int] = None,
     ):
         import jax
+        import jax.numpy as jnp
 
         from diffusion_image_captioning_tpu import sample as _sample
 
@@ -84,15 +86,29 @@ class CaptionService:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._steps = int(cfg.refine_steps_eval if steps is None else steps)
-        self._decode_ids = _sample.greedy_decode_ids
+        self._dedup = _sample.dedup_consecutive
 
-        def _run(params, x0, clip):
-            # sample.refine is already jit-compiled with static
-            # (model, cfg, steps) — no extra jit wrapper needed.
+        @jax.jit
+        def _run(params, seeds, clip):
+            # Initial noise ON DEVICE, one PRNG stream per request seed —
+            # generating 64x[L, C] normals with host numpy measured
+            # ~40 ms/batch on the single CPU core. Still a pure function
+            # of the request seed (batch-composition independent).
+            x0 = jax.vmap(
+                lambda s: jax.random.normal(
+                    jax.random.PRNGKey(s),
+                    (cfg.max_length, cfg.in_channel),
+                    jnp.float32,
+                )
+            )(seeds)
             logits, _, _ = _sample.refine(
                 model, cfg, params, x0, clip, steps=self._steps
             )
-            return logits
+            # argmax ON DEVICE: shipping [B, L, V] logits to host costs
+            # ~125 MB/batch at flagship shapes (measured 10 captions/s);
+            # the [B, L] int32 ids are 4 KB. softmax().argmax() ==
+            # argmax(logits) (sample.greedy_decode_ids docstring).
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
         self._fn = _run
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
@@ -246,18 +262,14 @@ class CaptionService:
         """Pad [k<=max_batch] rows into the static shape, run, decode."""
         cfg = self._cfg
         k = feats.shape[0]
-        # Per-request initial noise: a function of the request seed only.
-        x0 = np.zeros(
-            (self.max_batch, cfg.max_length, cfg.in_channel), np.float32
-        )
-        for i, s in enumerate(seeds):
-            x0[i] = np.random.default_rng(s).standard_normal(
-                (cfg.max_length, cfg.in_channel), np.float32
-            )
+        # Per-request seeds ride to the device; noise is drawn there.
+        seed_arr = np.zeros((self.max_batch,), np.uint32)
+        seed_arr[:k] = np.asarray(seeds, np.int64).astype(np.uint32)
         clip = np.zeros((self.max_batch, cfg.clip_dim), np.float32)
         clip[:k] = feats
-        logits = np.asarray(self._fn(self._params, x0, clip)[:k])
-        ids = self._decode_ids(logits)
+        ids = self._dedup(
+            np.asarray(self._fn(self._params, seed_arr, clip))[:k]
+        )
         with self._lock:
             self.n_requests += k
             self.n_batches += 1
