@@ -194,11 +194,11 @@ def run_val_bleu(
     for batch in val_batcher:
         key, k = jax.random.split(key)
         clip = jnp.asarray(batch["image_clip"])
-        logits, _ = sample.sample_captions(
+        ids = sample.sample_caption_ids(
             model, cfg, params, clip, k, steps=cfg.refine_steps_eval
-        )
+        )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
         cands = [
-            tokenizer.decode(row) for row in sample.greedy_decode_ids(np.asarray(logits))
+            tokenizer.decode(row) for row in sample.dedup_consecutive(ids)
         ]
         refs = [gt_table[img] for img in batch["image"]]
         acc += eval_bleu.flickr_batch_bleu(cands, refs)

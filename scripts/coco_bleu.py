@@ -88,11 +88,11 @@ def main() -> None:
     ):
         feats = encode(clip_params, jnp.asarray(batch["pixels"]))
         key, k = jax.random.split(key)
-        logits, _ = sample.sample_captions(
+        ids = sample.sample_caption_ids(
             model, cfg, params, feats, k, steps=cfg.refine_steps_eval
-        )
+        )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
         for row, caps in zip(
-            sample.greedy_decode_ids(np.asarray(logits)), batch["captions"]
+            sample.dedup_consecutive(ids), batch["captions"]
         ):
             cand = eval_bleu.coco_candidate_tokens(
                 tokenizer.decode(row), cfg.max_length

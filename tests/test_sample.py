@@ -138,3 +138,23 @@ class TestDecode:
             logits[0, pos, tok] = 5.0
         out = sp.greedy_decode_ids(logits)
         np.testing.assert_array_equal(out[0], [1, 2, 1, 3])
+
+    def test_dedup_consecutive_matches_greedy(self):
+        logits = np.zeros((2, 5, 4), np.float32)
+        for pos, tok in enumerate([0, 0, 3, 3, 2]):
+            logits[0, pos, tok] = 5.0
+            logits[1, pos, (tok + 1) % 4] = 5.0
+        a = sp.greedy_decode_ids(logits)
+        b = sp.dedup_consecutive(logits.argmax(-1))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_sample_caption_ids_matches_logits_argmax(self, model_and_params):
+        """The device-argmax fast path (ships [B, L] ids, not [B, L, V]
+        logits) must reproduce sample_captions + host argmax exactly."""
+        model, params = model_and_params
+        clip = jax.random.normal(jax.random.PRNGKey(9), (3, TINY.clip_dim))
+        key = jax.random.PRNGKey(4)
+        logits, _ = sp.sample_captions(model, TINY, params, clip, key, steps=2)
+        ids = sp.sample_caption_ids(model, TINY, params, clip, key, steps=2)
+        np.testing.assert_array_equal(ids, np.asarray(logits).argmax(-1))
