@@ -101,7 +101,12 @@ def main() -> None:
             state.trainable, state.frozen
         ))
         try:
-            extras["dp8_projection"] = bench_dp8_projection(cfg, on_tpu)
+            # DP-8 projection from the measured per-chip shard step —
+            # shared implementation in bench/dp_projection.py (which also
+            # documents the all-reduce model and its assumptions).
+            from bench.dp_projection import measure_dp8
+
+            extras["dp8_projection"] = measure_dp8(cfg)
         except Exception as e:  # noqa: BLE001 — extras must never kill the line
             extras["dp8_projection"] = {"error": f"{type(e).__name__}: {e}"}
 
@@ -116,66 +121,6 @@ def main() -> None:
             }
         )
     )
-
-
-def bench_dp8_projection(cfg, on_tpu: bool):
-    """DP-8 throughput projected from the MEASURED per-chip shard step
-    (batch 1 x sample 100 — the mesh shards the leading batch axis) plus a
-    conservative ring-all-reduce model for the 177 MB fp32 trainable
-    grads over v5e ICI (140 GB/s effective, no overlap). Full analysis:
-    bench/dp_projection.py and docs/PERF.md "DP-8 projection"."""
-    import dataclasses
-    import time
-
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
-    from diffusion_image_captioning_tpu import train as tr
-
-    cfg1 = dataclasses.replace(cfg, batch_size=1)
-    if on_tpu:
-        from diffusion_image_captioning_tpu.ops.pallas_guard import guard_config
-
-        cfg1 = guard_config(cfg1)
-    model, params = init_denoiser(cfg1, jax.random.PRNGKey(0))
-    tx = tr.make_optimizer(cfg1)
-    state = tr.init_train_state(cfg1, params, tx)
-    step = tr.make_train_step(model, cfg1, tx)
-    rng = np.random.default_rng(0)
-    batch = {
-        "input_ids": rng.integers(
-            0, cfg1.vocab_size, (1, cfg1.max_length)
-        ).astype(np.int32),
-        "attention_mask": np.ones((1, cfg1.max_length), np.int32),
-        "image_clip": rng.normal(size=(1, cfg1.clip_dim)).astype(np.float32),
-        "text_clip": rng.normal(size=(1, cfg1.clip_dim)).astype(np.float32),
-    }
-    lam = jnp.asarray(cfg1.rounding_weight, jnp.float32)
-    key = jax.random.PRNGKey(1)
-    for _ in range(3):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, batch, k, lam)
-    jax.block_until_ready(metrics["total"])
-    n = 30 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(n):
-        key, k = jax.random.split(key)
-        state, metrics = step(state, batch, k, lam)
-    jax.block_until_ready(metrics["total"])
-    t_shard = (time.perf_counter() - t0) / n
-    grad_bytes = sum(
-        v.size * 4 for v in jax.tree_util.tree_leaves(state.trainable)
-    )
-    t_ar = 2 * (8 - 1) / 8 * grad_bytes / (200e9 * 0.7)
-    steps = 1.0 / (t_shard + t_ar)
-    return {
-        "shard_step_ms_measured": round(t_shard * 1e3, 2),
-        "allreduce_ms_modeled": round(t_ar * 1e3, 2),
-        "projected_steps_per_sec": round(steps, 1),
-        "projected_vs_a30": round(steps / A30_STEPS_PER_SEC, 1),
-    }
 
 
 def bench_samplers(model, cfg, params, batch_size: int = 64, iters: int = 20):

@@ -36,28 +36,29 @@ ICI_GBPS_PEAK = 200.0   # v5e: 1600 Gbps per chip
 ICI_EFFICIENCY = 0.7    # conservative achievable fraction
 
 
-def main() -> None:
+def measure_dp8(base_cfg=None) -> dict:
+    """Measure the per-chip shard step and model the all-reduce; returns
+    the dict bench.py embeds as extras["dp8_projection"]. ``base_cfg``
+    (optional) supplies the flagship config to shard (batch_size is
+    overridden to 1 — the mesh shards the leading batch axis 8 ways)."""
+    import dataclasses
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache"),
-    )
     from diffusion_image_captioning_tpu.config import Config
     from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
     from diffusion_image_captioning_tpu.ops.pallas_guard import guard_config
     from diffusion_image_captioning_tpu import train as tr
 
     on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
-    cfg = Config(
-        batch_size=1,  # the 8-way shard of the flagship batch 8
-        epoch_num=15,
-        rounding_weight=0.3,
-        compute_dtype="bfloat16" if on_tpu else "float32",
-    )
+    if base_cfg is None:
+        base_cfg = Config(
+            epoch_num=15,
+            rounding_weight=0.3,
+            compute_dtype="bfloat16" if on_tpu else "float32",
+        )
+    cfg = dataclasses.replace(base_cfg, batch_size=1)
     if on_tpu:
         cfg = guard_config(cfg)
 
@@ -99,17 +100,34 @@ def main() -> None:
         2 * (N_CHIPS - 1) / N_CHIPS * grad_bytes
         / (ICI_GBPS_PEAK * ICI_EFFICIENCY * 1e9)
     )
-
     steps_dp8 = 1.0 / (t_shard + t_allreduce)
+    return {
+        "shard_step_ms_measured": round(t_shard * 1e3, 2),
+        "allreduce_ms_modeled": round(t_allreduce * 1e3, 2),
+        "grad_payload_mb": round(grad_bytes / 1e6, 1),
+        "projected_steps_per_sec": round(steps_dp8, 1),
+        "projected_vs_a30": round(steps_dp8 / A30_STEPS_PER_SEC, 1),
+    }
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    r = measure_dp8()
     print(f"per-chip shard step (batch 1 x sample 100, measured): "
-          f"{t_shard * 1e3:.2f} ms")
-    print(f"trainable grad payload: {grad_bytes / 1e6:.1f} MB fp32; "
+          f"{r['shard_step_ms_measured']} ms")
+    print(f"trainable grad payload: {r['grad_payload_mb']} MB fp32; "
           f"ring all-reduce over {N_CHIPS} chips at "
           f"{ICI_GBPS_PEAK * ICI_EFFICIENCY:.0f} GB/s effective "
-          f"(no-overlap upper bound): {t_allreduce * 1e3:.2f} ms")
+          f"(no-overlap upper bound): {r['allreduce_ms_modeled']} ms")
     print(f"projected DP-{N_CHIPS} flagship throughput: "
-          f"{steps_dp8:.1f} steps/s = {steps_dp8 / A30_STEPS_PER_SEC:.1f}x A30 "
-          f"(single chip measured: 19.9 = 5.9x)")
+          f"{r['projected_steps_per_sec']} steps/s = "
+          f"{r['projected_vs_a30']}x A30 (single chip measured: 19.9 = 5.9x)")
 
 
 if __name__ == "__main__":

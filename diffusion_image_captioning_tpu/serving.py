@@ -116,7 +116,6 @@ class CaptionService:
         self._thread: Optional[threading.Thread] = None
         # stats
         self._lock = threading.Lock()
-        self.n_requests = 0
         self.n_batches = 0
         self.n_rows = 0
 
@@ -128,13 +127,18 @@ class CaptionService:
                 np.zeros((1, self._cfg.clip_dim), np.float32), [0]
             )  # compile before serving
             with self._lock:
-                self.n_requests = self.n_batches = self.n_rows = 0
+                self.n_batches = self.n_rows = 0
+        self._stop.clear()  # support stop() -> start() restart
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
         return self
 
     def stop(self) -> None:
-        self._stop.set()
+        # _stop is set under the same lock that _enqueue checks it under,
+        # so every queue.put either preceded this point (and is drained
+        # below) or raises in _enqueue — no request can be stranded.
+        with self._lock:
+            self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
@@ -147,6 +151,12 @@ class CaptionService:
                 break
             item.error = RuntimeError("CaptionService stopped")
             item.event.set()
+
+    def _enqueue(self, item: _Pending) -> None:
+        with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("CaptionService stopped")
+            self._queue.put(item)
 
     # -- client API ---------------------------------------------------------
 
@@ -161,7 +171,7 @@ class CaptionService:
                 f"got {feats.shape[0]}"
             )
         item = _Pending(feats, int(seed))
-        self._queue.put(item)
+        self._enqueue(item)
         if not item.event.wait(timeout):
             raise TimeoutError("caption request timed out")
         if item.error is not None:
@@ -183,7 +193,7 @@ class CaptionService:
             raise ValueError("seeds length must match features rows")
         items = [_Pending(f, int(s)) for f, s in zip(feats, seeds)]
         for it in items:
-            self._queue.put(it)
+            self._enqueue(it)
         out: List[str] = []
         for it in items:
             if not it.event.wait(timeout):
@@ -218,7 +228,6 @@ class CaptionService:
     def stats(self) -> dict:
         with self._lock:
             return {
-                "requests": self.n_requests,
                 "batches": self.n_batches,
                 "rows": self.n_rows,
                 "mean_batch_occupancy": (
@@ -271,7 +280,6 @@ class CaptionService:
             np.asarray(self._fn(self._params, seed_arr, clip))[:k]
         )
         with self._lock:
-            self.n_requests += k
             self.n_batches += 1
             self.n_rows += k
         return [self._tokenizer.decode(row) for row in ids]

@@ -31,7 +31,6 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from diffusion_image_captioning_tpu import checkpoint as ck
     from diffusion_image_captioning_tpu import sample
@@ -67,10 +66,10 @@ def main() -> None:
         os.path.dirname(args.image) or ".", [os.path.basename(args.image)]
     )
     feats = enc.apply({"params": clip_params}, preprocess_images(jnp.asarray(pix)))
-    logits, _ = sample.sample_captions(
+    ids = sample.sample_caption_ids(
         model, cfg, params, feats, jax.random.PRNGKey(args.seed), steps=args.steps
-    )
-    for row in sample.greedy_decode_ids(np.asarray(logits)):
+    )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
+    for row in sample.dedup_consecutive(ids):
         print(tokenizer.decode(row))
 
 

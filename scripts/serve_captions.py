@@ -105,6 +105,8 @@ def _seeds_for(req, n):
     seeds = req.get("seeds")
     if seeds in (None, []):
         return list(range(n))
+    if not isinstance(seeds, list):
+        raise ValueError("seeds must be a JSON array of ints")
     if len(seeds) != n:
         raise ValueError(f"seeds length {len(seeds)} != rows {n}")
     return seeds

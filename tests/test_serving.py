@@ -13,6 +13,7 @@ import importlib.util
 import json
 import os
 import threading
+import time
 
 import jax
 import numpy as np
@@ -129,8 +130,9 @@ class TestCaptionService:
 
         t = threading.Thread(target=caller)
         t.start()
+        deadline = time.monotonic() + 10
         while svc._queue.empty():  # wait for the item to land
-            pass
+            assert time.monotonic() < deadline, "caller never enqueued"
         svc.stop()
         t.join(timeout=10)
         assert not t.is_alive()
