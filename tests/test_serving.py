@@ -207,6 +207,15 @@ class TestHttpFrontend:
 
     def test_errors(self, server):
         assert self._req(server, "POST", "/caption", {})[0] == 400
+        # malformed seeds must be a client error, not a 500
+        assert self._req(
+            server, "POST", "/caption",
+            {"features": [_feat(70).tolist()], "seeds": 7},
+        )[0] == 400
+        assert self._req(
+            server, "POST", "/caption",
+            {"features": [_feat(71).tolist()], "seeds": [1, 2]},
+        )[0] == 400
         assert self._req(server, "POST", "/nope", {"x": 1})[0] == 404
         assert self._req(server, "GET", "/nope")[0] == 404
         # image endpoint without CLIP assets -> 503
