@@ -339,9 +339,13 @@ def fit(
     the six averaged loss scalars, matching the log line order.
     """
     import contextlib
+    import os
 
     from diffusion_image_captioning_tpu.data.prefetch import PrefetchingLoader
-    from diffusion_image_captioning_tpu.utils.profiling import StepTimer
+    from diffusion_image_captioning_tpu.utils.profiling import (
+        StallWatchdog,
+        StepTimer,
+    )
 
     debug = cfg.debug if debug is None else debug
     tx = make_optimizer(cfg) if tx is None else tx
@@ -366,6 +370,39 @@ def fit(
     early_stopped = False
     history = []
     timer = StepTimer()  # steps/s over train steps only (pause() at epoch ends)
+    # Wedge detector: a blocked device call (remote-tunnel hazard,
+    # CLAUDE.md) otherwise stalls the run silently. Steps dispatch
+    # asynchronously, so the poke that matters is the one after each
+    # BLOCKING point (epoch-end drain, val batches).
+    watchdog = StallWatchdog(
+        timeout_s=float(os.environ.get("DIC_STALL_TIMEOUT_S", "600"))
+    ).start()
+    try:
+        state, history, early_stopped = _fit_epochs(
+            model, cfg, state, train_batches, val_batches, train_step,
+            eval_step, prep, mesh_ctx, lrs, key, base_key, lam, dyn, debug,
+            summary, checkpoint_fn, progress_fn, timer, watchdog, history,
+        )
+    finally:
+        watchdog.stop()
+    if not early_stopped:
+        _checkpoint_guarded(checkpoint_fn, state, "final", summary)
+    if summary is not None and timer.steps_per_sec > 0:
+        # Additive observability line (not present in reference logs; the
+        # epoch-line parser keys on 'epoch ' prefixes so co-plotting is
+        # unaffected). SURVEY section 5.1 / VERDICT round-1 item 8.
+        summary.write(f"train steps/s: {timer.steps_per_sec:.3f}\n")
+        summary.flush()
+    return state, history
+
+
+def _fit_epochs(
+    model, cfg, state, train_batches, val_batches, train_step, eval_step,
+    prep, mesh_ctx, lrs, key, base_key, lam, dyn, debug, summary,
+    checkpoint_fn, progress_fn, timer, watchdog, history,
+):
+    """The epoch loop body of fit() (split out so the watchdog wraps it)."""
+    early_stopped = False
     for epoch in range(cfg.epoch_num):
         if cfg.end_learning_rate != cfg.learning_rate:
             state = set_learning_rate(state, float(lrs[epoch]))
@@ -400,6 +437,7 @@ def fit(
         # in-epoch ticks only measure enqueue rate), then stop the clock:
         # validation/checkpoint time is not step time.
         timer.drain(metrics["total"] if n_train else None)
+        watchdog.poke()  # first post-block point each epoch
         train_avg = {
             name: float(jnp.mean(jnp.stack(vals))) for name, vals in acc.items()
         }
@@ -411,7 +449,8 @@ def fit(
             with mesh_ctx():
                 m = eval_step(state, prep(batch), k, lam)
             for name in val_acc:
-                val_acc[name] += float(m[name])
+                val_acc[name] += float(m[name])  # blocking fetch
+            watchdog.poke()
             n_val += 1
             if debug:
                 break
@@ -448,15 +487,7 @@ def fit(
         if debug:
             break
 
-    if not early_stopped:
-        _checkpoint_guarded(checkpoint_fn, state, "final", summary)
-    if summary is not None and timer.steps_per_sec > 0:
-        # Additive observability line (not present in reference logs; the
-        # epoch-line parser keys on 'epoch ' prefixes so co-plotting is
-        # unaffected). SURVEY section 5.1 / VERDICT round-1 item 8.
-        summary.write(f"train steps/s: {timer.steps_per_sec:.3f}\n")
-        summary.flush()
-    return state, history
+    return state, history, early_stopped
 
 
 def _checkpoint_guarded(checkpoint_fn, state, tag, summary):

@@ -112,5 +112,74 @@ class StepTimer:
         return timed / self.total if timed > 0 and self.total > 0 else 0.0
 
 
+class StallWatchdog:
+    """Detects a wedged training loop and says so on stderr.
+
+    Motivated by a real incident (2026-08-17): a 192-epoch run froze
+    mid-run — the host thread futex-waiting forever on a remote device
+    result — and was silent for 15 minutes until noticed externally. A
+    daemon thread checks the gap since the last ``poke()``; past
+    ``timeout_s`` it emits a warning (and re-emits once per further
+    timeout while the stall persists, so a log tail shows it clearly).
+
+    It cannot unblock the device call — JAX offers no cancellation — but
+    it turns an invisible hang into an actionable message (kill the
+    process; ``continue_train`` resumes from the last checkpoint).
+
+    ``timeout_s <= 0`` disables (``start()`` becomes a no-op); the train
+    loop reads the ``DIC_STALL_TIMEOUT_S`` env var (default 600).
+    """
+
+    def __init__(self, timeout_s: float = 600.0, label: str = "train",
+                 emit=None):
+        import sys
+        import threading
+
+        self.timeout = float(timeout_s)
+        self.label = label
+        self._emit = emit or (
+            lambda msg: print(msg, file=sys.stderr, flush=True)
+        )
+        self._threading = threading
+        self._last = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = None
+        self.stall_count = 0
+
+    def start(self) -> "StallWatchdog":
+        if self.timeout <= 0 or self._thread is not None:
+            return self
+        self._stop.clear()
+        self._thread = self._threading.Thread(target=self._watch, daemon=True)
+        self._thread.start()
+        return self
+
+    def poke(self) -> None:
+        self._last = time.monotonic()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None
+
+    def _watch(self) -> None:
+        warned_gap = 0.0
+        poll = min(self.timeout / 4, 10.0)
+        while not self._stop.wait(poll):
+            gap = time.monotonic() - self._last
+            if gap < self.timeout:
+                warned_gap = 0.0
+            elif gap >= warned_gap + self.timeout:
+                warned_gap = gap
+                self.stall_count += 1
+                self._emit(
+                    f"WARNING: {self.label} loop has made no progress for "
+                    f"{gap:.0f} s — a device call is likely wedged (remote "
+                    f"tunnel). Kill this process and resume from the last "
+                    f"checkpoint (continue_train)."
+                )
+
+
 def debug_nans(enable: bool = True) -> None:
     jax.config.update("jax_debug_nans", enable)

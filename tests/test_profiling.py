@@ -41,3 +41,34 @@ def test_drain_then_new_epoch_starts_fresh():
     time.sleep(0.02)  # between-epoch time must NOT be charged
     t.tick()
     assert t.total == before
+
+
+class TestStallWatchdog:
+    def test_fires_on_stall_and_stays_quiet_when_poked(self):
+        from diffusion_image_captioning_tpu.utils.profiling import StallWatchdog
+        import time
+
+        msgs = []
+        wd = StallWatchdog(timeout_s=0.2, label="t", emit=msgs.append).start()
+        try:
+            # poked -> quiet
+            for _ in range(4):
+                wd.poke()
+                time.sleep(0.06)
+            assert msgs == []
+            # stalled -> fires (and re-fires once per further timeout)
+            time.sleep(0.8)
+            assert len(msgs) >= 1
+            assert "no progress" in msgs[0]
+        finally:
+            wd.stop()
+        n = len(msgs)
+        time.sleep(0.3)
+        assert len(msgs) == n  # stopped: no further emissions
+
+    def test_disabled_is_noop(self):
+        from diffusion_image_captioning_tpu.utils.profiling import StallWatchdog
+
+        wd = StallWatchdog(timeout_s=0).start()
+        assert wd._thread is None
+        wd.stop()
