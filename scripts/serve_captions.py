@@ -196,7 +196,18 @@ def main() -> None:
     p.add_argument("--max_batch", type=int, default=64)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
     p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late in "
+                        "this image — a startup hook initializes TPU)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import signal
+    import threading
 
     service, cfg = build_service(args)
     encode = build_image_encoder(args)
@@ -204,6 +215,13 @@ def main() -> None:
     server = ThreadingHTTPServer(
         (args.host, args.port),
         make_handler(service, args.ckpt_name, encode),
+    )
+    # Graceful SIGTERM (the signal orchestrators send): stop accepting,
+    # finish in-flight batches, drain the queue with errors. shutdown()
+    # must come from another thread (it blocks until serve_forever exits).
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=server.shutdown, daemon=True).start(),
     )
     print(f"serving {args.ckpt_name} on http://{args.host}:{args.port} "
           f"(max_batch={service.max_batch}, steps={service.stats()['steps']})")
