@@ -27,7 +27,15 @@ def main() -> None:
                    help="smoke-test only: proceed with random CLIP weights")
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late in "
+                        "this image — a startup hook initializes TPU)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp

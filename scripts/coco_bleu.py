@@ -33,7 +33,15 @@ def main() -> None:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--limit", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late in "
+                        "this image — a startup hook initializes TPU)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp

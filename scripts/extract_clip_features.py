@@ -46,7 +46,15 @@ def main() -> None:
                         "when mixing fresh extraction with --convert output "
                         "so both sources share the same scale")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late in "
+                        "this image — a startup hook initializes TPU)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     from diffusion_image_captioning_tpu.data import flickr as fl
 

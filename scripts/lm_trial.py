@@ -24,7 +24,15 @@ def main() -> None:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--vocab_size", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late in "
+                        "this image — a startup hook initializes TPU)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
 
     from diffusion_image_captioning_tpu.config import LM_TRIAL
     from diffusion_image_captioning_tpu.pipeline import run_lm_trial

@@ -56,7 +56,15 @@ def main() -> None:
         help="write a jax.profiler trace of the run here",
     )
     add_config_flags(p)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (env vars are too late in "
+                        "this image — a startup hook initializes TPU)")
     args = p.parse_args()
+
+    if args.cpu:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
     if not (args.flickr8k_dir or args.flickr30k_dir):
         p.error(
             "pass --flickr8k_dir and/or --flickr30k_dir (an empty dataset "
