@@ -34,7 +34,19 @@ def main() -> None:
     p.add_argument("--out", default=".")
     p.add_argument("--name", default=None,
                    help="rename the log to runs/-style <name>.txt after")
+    p.add_argument("--segments", type=int, default=1,
+                   help="split the run into N continue_train segments of "
+                        "epochs/N each. Long-run wedge mitigation: the "
+                        "remote tunnel has been seen freezing runs that "
+                        "step continuously for ~35-40 min (CLAUDE.md), and "
+                        "a wedged segment can simply be re-run — "
+                        "continue_train resumes from the last checkpoint. "
+                        "The LR schedule restarts per segment (cyclic "
+                        "restarts); BLEU is scored at every segment end, "
+                        "giving a BLEU-vs-training trajectory in one log.")
     args = p.parse_args()
+
+    import dataclasses
 
     import jax
 
@@ -47,8 +59,10 @@ def main() -> None:
         synthetic_correlated_flickr_dir,
     )
 
+    if args.epochs % args.segments:
+        raise SystemExit("--epochs must divide evenly by --segments")
     cfg = Config(
-        epoch_num=args.epochs,
+        epoch_num=args.epochs // args.segments,
         rounding_weight=0.3,
         train_set_ratio=0.95,
         early_stop_ratio=1.02,
@@ -57,7 +71,11 @@ def main() -> None:
                                         seed=args.seed)
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
-    pipeline.run_flickr_training(cfg, d, None, out_dir=args.out)
+    for seg in range(args.segments):
+        c = dataclasses.replace(cfg, continue_train=seg > 0)
+        pipeline.run_flickr_training(c, d, None, out_dir=args.out)
+        print(f"segment {seg + 1}/{args.segments} done "
+              f"({time.time() - t0:.0f} s)", flush=True)
     wall = time.time() - t0
     log = os.path.join(args.out, model_name(cfg) + ".txt")
     print(f"wall: {wall:.0f} s; log: {log}")
