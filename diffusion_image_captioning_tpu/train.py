@@ -414,6 +414,12 @@ def _fit_epochs(
             with mesh_ctx():
                 state, metrics = train_step(state, prep(batch), base_key, lam)
             timer.tick()
+            # Per-dispatch poke: while the device makes progress, dispatch
+            # keeps flowing (backpressure unblocks), so pokes continue and a
+            # legitimately-long epoch (>timeout of stepping) cannot
+            # false-positive. A real wedge blocks the host — at dispatch
+            # backpressure or at the epoch-end drain — and pokes stop.
+            watchdog.poke()
             for name in acc:
                 acc[name].append(metrics[name])
             n_train += 1
