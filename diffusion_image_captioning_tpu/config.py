@@ -200,6 +200,37 @@ class Config:
         return cls(**{k: v for k, v in json.loads(s).items() if k in known})
 
 
+def add_config_flags(p, base: "Config | None" = None) -> None:
+    """Add one ``--<field>`` argparse flag per Config field.
+
+    The reference is configured by editing its module-constant block
+    (CLIP-DDPM.py:55-115); the CLIs expose every one of those knobs (and
+    the TPU extensions) as flags instead. Defaults come from ``base`` — a
+    preset such as ``LM_TRIAL`` — or a default ``Config``.
+    """
+    base = Config() if base is None else base
+    for f in dataclasses.fields(Config):
+        default = getattr(base, f.name)
+        if f.type in ("bool", bool):
+            p.add_argument(
+                f"--{f.name}",
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=default,
+            )
+        elif f.type in ("int", int):
+            p.add_argument(f"--{f.name}", type=int, default=default)
+        elif f.type in ("float", float):
+            p.add_argument(f"--{f.name}", type=float, default=default)
+        else:
+            p.add_argument(f"--{f.name}", type=str, default=default)
+
+
+def config_from_args(args) -> Config:
+    """Build a Config from parsed argparse flags (non-Config attrs ignored)."""
+    names = {f.name for f in dataclasses.fields(Config)}
+    return Config(**{k: v for k, v in vars(args).items() if k in names})
+
+
 def model_name(cfg: Config) -> str:
     """The run-name codec, byte-compatible with the reference's ``MODEL_NAME``
     f-string (CLIP-DDPM.py:116-118), e.g.::

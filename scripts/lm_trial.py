@@ -14,16 +14,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    from diffusion_image_captioning_tpu.config import (
+        LM_TRIAL,
+        add_config_flags,
+        config_from_args,
+    )
+
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
         "--train_csv", default="/root/reference/lm-trial/train.csv"
     )
     p.add_argument("--out_dir", default=".")
-    p.add_argument("--epoch_num", type=int, default=None)
-    p.add_argument("--max_length", type=int, default=None)
-    p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--vocab_size", type=int, default=8000)
     p.add_argument("--seed", type=int, default=0)
+    # Every Config knob as a flag, defaulting to the lm-trial preset
+    # (vocab capped at 8000 — the CSV-built vocab's historical CLI default).
+    add_config_flags(p, base=LM_TRIAL.replace(vocab_size=8000))
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (env vars are too late in "
                         "this image — a startup hook initializes TPU)")
@@ -34,13 +39,9 @@ def main() -> None:
 
         _jax.config.update("jax_platforms", "cpu")
 
-    from diffusion_image_captioning_tpu.config import LM_TRIAL
     from diffusion_image_captioning_tpu.pipeline import run_lm_trial
 
-    cfg = LM_TRIAL.replace(vocab_size=args.vocab_size)
-    for name in ("epoch_num", "max_length", "batch_size"):
-        if getattr(args, name) is not None:
-            cfg = cfg.replace(**{name: getattr(args, name)})
+    cfg = config_from_args(args)
 
     _, history, _ = run_lm_trial(cfg, args.train_csv, args.out_dir, seed=args.seed)
     if not history:

@@ -11,33 +11,15 @@ a --flag named after its Config field, with the reference defaults
 """
 
 import argparse
-import dataclasses
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from diffusion_image_captioning_tpu.config import Config  # noqa: E402
-
-
-def add_config_flags(p: argparse.ArgumentParser) -> None:
-    for f in dataclasses.fields(Config):
-        if f.type in ("bool", bool):
-            p.add_argument(
-                f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
-                default=f.default,
-            )
-        elif f.type in ("int", int):
-            p.add_argument(f"--{f.name}", type=int, default=f.default)
-        elif f.type in ("float", float):
-            p.add_argument(f"--{f.name}", type=float, default=f.default)
-        else:
-            p.add_argument(f"--{f.name}", type=str, default=f.default)
-
-
-def config_from_args(args: argparse.Namespace) -> Config:
-    names = {f.name for f in dataclasses.fields(Config)}
-    return Config(**{k: v for k, v in vars(args).items() if k in names})
+from diffusion_image_captioning_tpu.config import (  # noqa: E402
+    add_config_flags,
+    config_from_args,
+)
 
 
 def main() -> None:
