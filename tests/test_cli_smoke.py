@@ -85,3 +85,25 @@ def test_lm_trial_cli(tmp_path):
     logs = [p for p in os.listdir(tmp_path) if p.endswith(".txt")]
     assert len(logs) == 1, logs
     assert "epoch 0 average" in (tmp_path / logs[0]).read_text()
+
+
+def test_plot_trials_cli(tmp_path):
+    """Co-plot THIS framework's archived run with the reference's own trial
+    logs — the cross-repo plotting claim, exercised mechanically."""
+    import glob
+
+    ours = os.path.join(REPO, "runs", "flagship_synthetic_correlated_32ep_round2.txt")
+    theirs = sorted(glob.glob("/root/reference/trial_lr/*.txt"))[:2]
+    if not (os.path.exists(ours) and theirs):
+        import pytest
+
+        pytest.skip("archived logs not present")
+    out = tmp_path / "cmp.png"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "plot_trials.py"),
+         ours, *theirs, "--out", str(out)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists() and out.stat().st_size > 10_000
+    assert "warning: no epoch lines" not in proc.stdout
