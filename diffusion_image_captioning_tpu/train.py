@@ -402,14 +402,30 @@ def _fit_epochs(
     checkpoint_fn, progress_fn, timer, watchdog, history,
 ):
     """The epoch loop body of fit() (split out so the watchdog wraps it)."""
+    import os
+    import sys
+    import time as _time
+
+    phase_times = bool(os.environ.get("DIC_PHASE_TIMES"))
     early_stopped = False
+    _NAMES = ("x_t_loss", "x_1_loss", "prob_loss", "total")
     for epoch in range(cfg.epoch_num):
         if cfg.end_learning_rate != cfg.learning_rate:
             state = set_learning_rate(state, float(lrs[epoch]))
 
-        acc = {"x_t_loss": [], "x_1_loss": [], "prob_loss": [], "total": []}
-        dyn_acc = jnp.zeros((3,), jnp.float32)
+        # Per-step metric scalars accumulate ON DEVICE into one [4] array
+        # (order: x_t, x_1, prob, total) — sequential sum, then /n on host.
+        # Host lists of per-step device scalars measured catastrophically
+        # slow through the remote device tunnel at reference scale (4,045
+        # steps/epoch): 16k lingering remote scalar buffers plus four
+        # 4,045-operand epoch-end stacks cost minutes per epoch. The
+        # sequential sum also matches the reference's own Python-float
+        # accumulation order (CLIP-DDPM.py:527-536) more closely than the
+        # previous mean-of-stack (differences are last-ulp fp ordering).
+        t_train = _time.monotonic()
+        acc_dev = jnp.zeros((4,), jnp.float32)
         n_train = 0
+        metrics = None
         for batch in train_batches:
             with mesh_ctx():
                 state, metrics = train_step(state, prep(batch), base_key, lam)
@@ -420,19 +436,16 @@ def _fit_epochs(
             # false-positive. A real wedge blocks the host — at dispatch
             # backpressure or at the epoch-end drain — and pokes stop.
             watchdog.poke()
-            for name in acc:
-                acc[name].append(metrics[name])
+            acc_dev = acc_dev + jnp.stack([metrics[n] for n in _NAMES])
             n_train += 1
             if dyn > 0:
-                # Dynamic lambda on epoch-accumulated scalars
-                # (CLIP-DDPM.py:535-536) — pure device ops, dispatched
-                # asynchronously; the host never blocks on it.
-                dyn_acc = dyn_acc + jnp.stack(
-                    [metrics["x_t_loss"], metrics["x_1_loss"], metrics["prob_loss"]]
-                )
+                # Dynamic lambda on the running epoch-accumulated sums
+                # (CLIP-DDPM.py:535-536 sit inside the batch loop) — pure
+                # device ops, dispatched asynchronously; the host never
+                # blocks on it.
                 lam = jnp.where(
-                    dyn_acc[2] > 0,
-                    (dyn_acc[0] + dyn_acc[1]) / dyn_acc[2] * dyn,
+                    acc_dev[2] > 0,
+                    (acc_dev[0] + acc_dev[1]) / acc_dev[2] * dyn,
                     lam,
                 )
             if progress_fn is not None:
@@ -444,23 +457,39 @@ def _fit_epochs(
         # validation/checkpoint time is not step time.
         timer.drain(metrics["total"] if n_train else None)
         watchdog.poke()  # first post-block point each epoch
+        sums = np.asarray(acc_dev)
         train_avg = {
-            name: float(jnp.mean(jnp.stack(vals))) for name, vals in acc.items()
+            name: float(s) / max(n_train, 1) for name, s in zip(_NAMES, sums)
         }
 
-        val_acc = {"x_t_loss": 0.0, "x_1_loss": 0.0, "prob_loss": 0.0}
+        # Validation metrics accumulate on device the same way: ONE blocking
+        # fetch per epoch instead of four per val batch (the per-batch
+        # float() fetches cost ~minutes per epoch through the tunnel at
+        # reference scale: ~1,000 val batches x 4 round trips).
+        t_val = _time.monotonic()
+        vacc_dev = jnp.zeros((3,), jnp.float32)
         n_val = 0
         for batch in val_batches:
             key, k = jax.random.split(key)
             with mesh_ctx():
                 m = eval_step(state, prep(batch), k, lam)
-            for name in val_acc:
-                val_acc[name] += float(m[name])  # blocking fetch
+            vacc_dev = vacc_dev + jnp.stack([m[n] for n in _NAMES[:3]])
             watchdog.poke()
             n_val += 1
             if debug:
                 break
-        val_avg = {k_: v / max(n_val, 1) for k_, v in val_acc.items()}
+        vsums = np.asarray(vacc_dev)  # blocking fetch (ends the val phase)
+        val_avg = {
+            name: float(s) / max(n_val, 1)
+            for name, s in zip(_NAMES[:3], vsums)
+        }
+        if phase_times:
+            t_end = _time.monotonic()
+            print(
+                f"[phase] epoch {epoch}: train {t_val - t_train:.1f}s "
+                f"({n_train} steps) val {t_end - t_val:.1f}s ({n_val} batches)",
+                file=sys.stderr, flush=True,
+            )
 
         # Early stop: checkpoint once, keep training (CLIP-DDPM.py:548-557).
         if sum(val_avg.values()) > cfg.early_stop_ratio * train_avg["total"]:
