@@ -109,6 +109,20 @@ def main() -> None:
             extras["dp8_projection"] = measure_dp8(cfg)
         except Exception as e:  # noqa: BLE001 — extras must never kill the line
             extras["dp8_projection"] = {"error": f"{type(e).__name__}: {e}"}
+        # Archived end-to-end wall-clock at the reference's own headline
+        # protocol (README.md:15: 15 epochs of Flickr8k in 5 h on one A30),
+        # driven at identical scale/math on one v5e chip 2026-08-18 —
+        # runs/flagship_synthetic_8kscale_15ep_reference_protocol.txt and
+        # docs/PERF.md. Static pointer, not re-measured here (the full run
+        # takes ~63 min; reproduce with scripts/run_correlated_world.py
+        # --epochs 15 --segments 3 --images 8091 --train_set_ratio 0.8).
+        extras["reference_protocol_15ep_wall"] = {
+            "wall_s": 3800,
+            "a30_wall_s": 18000,
+            "vs_a30_end_to_end": 4.74,
+            "steady_state_steps_per_sec": 20.3,
+            "artifact": "runs/flagship_synthetic_8kscale_15ep_reference_protocol.txt",
+        }
 
     print(
         json.dumps(
