@@ -123,6 +123,12 @@ class Config:
     # fresh noise per timestep sample.
     stable_rounding_loss: bool = True  # log-softmax instead of the reference's
     # numerically naive softmax().log() (CLIP-DDPM.py:436-440).
+    dict_char_slice: bool = False  # reference quirk (CLIP-DDPM.py:184): the
+    # TRAIN_EMBEDDING item path slices the raw caption STRING to
+    # max_length-2 and vocab-maps each CHARACTER (un-lowercased, spaces
+    # included) — near-all-UNK sequences. The trial_train_embedding/ logs
+    # were trained under this bug; True reproduces it, False (default)
+    # tokenizes into words as the vocab build (CLIP-DDPM.py:141-155) does.
     use_pallas_attention: bool = True  # fused attention kernel on TPU
     use_pallas_ffn: bool = False  # fused FFN fwd kernel: measured slower than
     # XLA's scheduling of the same chain in the full step (docs/PERF.md);

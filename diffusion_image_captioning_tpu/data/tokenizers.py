@@ -82,22 +82,34 @@ class DictTokenizer:
     """Minimal decode-capable tokenizer over a built vocabulary.
 
     Encoding follows the reference's TRAIN_EMBEDDING item path
-    (CLIP-DDPM.py:184-188): START + words (UNK-mapped) truncated to
+    (CLIP-DDPM.py:184-188): START + units (UNK-mapped) truncated to
     max_length-2 + END, padded with UNK; attention mask covers the
     non-padding prefix.
+
+    ``char_slice`` selects what a "unit" is. The reference slices the raw
+    caption STRING — ``caption[:MAX_LENGTH-2]`` — and vocab-maps each
+    CHARACTER (un-lowercased, spaces included), so nearly every unit is
+    UNK; its trial_train_embedding/ logs were trained on that. False (the
+    default) tokenizes into lowercased words with the same rule tokenizer
+    the vocab build uses — the evident intent. Flag-gated per the
+    project's quirk policy (docs/PARITY.md "DictTokenizer char-slice").
     """
 
-    def __init__(self, vocab: dict[str, int]):
+    def __init__(self, vocab: dict[str, int], char_slice: bool = False):
         self.vocab = vocab
         self.inv = {v: k for k, v in vocab.items()}
+        self.char_slice = char_slice
 
     @property
     def vocab_size(self) -> int:
         return len(self.vocab)
 
     def encode(self, text: str, max_length: int) -> tuple[np.ndarray, np.ndarray]:
-        words = word_tokenize(text)[: max_length - 2]
-        ids = [0] + [self.vocab.get(w, 2) for w in words] + [1]
+        if self.char_slice:
+            units: Sequence[str] = text[: max_length - 2]
+        else:
+            units = word_tokenize(text)[: max_length - 2]
+        ids = [0] + [self.vocab.get(w, 2) for w in units] + [1]
         pad = max(0, max_length - len(ids))
         input_ids = np.asarray(ids + [2] * pad, np.int32)
         mask = np.asarray([1] * len(ids) + [0] * pad, np.int32)

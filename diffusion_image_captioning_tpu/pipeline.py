@@ -112,7 +112,7 @@ def build_tokenizer(cfg: Config, captions: list[str], assets_dir: Optional[str])
     DistilBERT vocab when available, CLIP-DDPM.py:205) or a corpus-built
     subword vocab as the hermetic fallback."""
     if cfg.train_embedding:
-        return DictTokenizer(build_caption_vocab(captions))
+        return DictTokenizer(build_caption_vocab(captions), char_slice=cfg.dict_char_slice)
     vocab_path = assets_dir and os.path.join(assets_dir, "vocab.txt")
     if vocab_path and os.path.exists(vocab_path):
         return WordPieceTokenizer.from_file(vocab_path)

@@ -41,6 +41,23 @@ class TestCaptionVocab:
         t = tk.DictTokenizer(vocab)
         assert t.decode([0, 4, 1]) == "START dog END"
 
+    def test_char_slice_quirk_matches_reference(self):
+        # CLIP-DDPM.py:184 slices the raw caption STRING and vocab-maps each
+        # CHARACTER (un-lowercased): [vocab.get(ch, UNK) for ch in cap[:L-2]].
+        vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3, "a": 4, ".": 5, "dog": 6}
+        t = tk.DictTokenizer(vocab, char_slice=True)
+        ids, mask = t.encode("A dog.", 10)
+        # chars: 'A'(UNK — not lowercased) ' '(UNK) 'd' 'o' 'g' '.'(id 5)
+        np.testing.assert_array_equal(ids, [0, 2, 2, 2, 2, 2, 5, 1, 2, 2])
+        np.testing.assert_array_equal(mask, [1, 1, 1, 1, 1, 1, 1, 1, 0, 0])
+        # the string slice bounds the length: a 14-char slice of a long
+        # caption always fits max_length exactly (no pad, no overflow)
+        ids, mask = t.encode("a dog runs in the park .", 16)
+        assert ids.shape == (16,) and mask.sum() == 16
+        # default (fixed) semantics tokenizes words: "dog" maps to its id
+        ids_fixed, _ = tk.DictTokenizer(vocab).encode("A dog.", 10)
+        np.testing.assert_array_equal(ids_fixed[:5], [0, 4, 6, 5, 1])
+
 
 class TestWordPiece:
     def make(self):
