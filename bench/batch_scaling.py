@@ -59,16 +59,9 @@ def measure(cfg, n_steps: int = 30) -> float:
     state = tr.init_train_state(cfg, params, tx)
     step = tr.make_train_step(model, cfg, tx)
 
-    rng = np.random.default_rng(0)
-    B = cfg.batch_size
-    batch = {
-        "input_ids": rng.integers(0, cfg.vocab_size, (B, cfg.max_length)).astype(
-            np.int32
-        ),
-        "attention_mask": np.ones((B, cfg.max_length), np.int32),
-        "image_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
-        "text_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
-    }
+    from bench import synthetic_batch
+
+    batch = synthetic_batch(cfg)
     lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
     key = jax.random.PRNGKey(1)
     for _ in range(3):

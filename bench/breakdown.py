@@ -77,14 +77,10 @@ def main() -> None:
     # `params` stays alive for the component probes below
     state = tr.init_train_state(cfg, jax.tree.map(jnp.array, params), tx)
 
-    rng = np.random.default_rng(0)
+    from bench import synthetic_batch
+
     B, S, L = cfg.batch_size, cfg.sample_size, cfg.max_length
-    batch = {
-        "input_ids": rng.integers(0, cfg.vocab_size, (B, L)).astype(np.int32),
-        "attention_mask": np.ones((B, L), np.int32),
-        "image_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
-        "text_clip": rng.normal(size=(B, cfg.clip_dim)).astype(np.float32),
-    }
+    batch = synthetic_batch(cfg)
     lam = jnp.asarray(0.3, jnp.float32)
 
     # --- full step ---

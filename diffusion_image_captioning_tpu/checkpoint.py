@@ -75,45 +75,67 @@ def save(
         else x,
         payload,
     )
-    # meta first: restore() needs it unconditionally, so an interrupt
-    # between the two writes must not leave a complete-but-unloadable
-    # checkpoint (the reverse order can: orbax finishes, meta never lands).
-    # tmp + os.replace = atomic: a kill mid-dump can't truncate the live
-    # meta.
-    meta = {"config": json.loads(cfg.to_json())}
-    if val_indices is not None:
-        meta["val_indices"] = np.asarray(val_indices).tolist()
-    with open(path + ".meta.json.tmp", "w") as f:
-        json.dump(meta, f)
-    os.replace(path + ".meta.json.tmp", path + ".meta.json")
     # Never overwrite in place (force=True would DELETE the previous
     # checkpoint before the new one is durable — a crash mid-save then
     # loses both): write to .new, swap via renames, keep .old until the
-    # swap lands. _recover_swap() in restore() heals any crash window.
+    # swap lands. The meta.json rides the SAME swap as the payload — a
+    # meta written directly to the live name could pair a NEW meta
+    # (config + val split) with the OLD payload if the orbax write is
+    # interrupted, and a later restore would then evaluate old weights on
+    # indices that were its training rows. _recover_swap() in restore()
+    # heals every crash window, always pairing a payload with ITS meta.
+    meta = {"config": json.loads(cfg.to_json())}
+    if val_indices is not None:
+        meta["val_indices"] = np.asarray(val_indices).tolist()
     new, old = path + ".new", path + ".old"
+    meta_live, meta_new, meta_old = (
+        path + ".meta.json", new + ".meta.json", old + ".meta.json"
+    )
     for stale in (new, old):
         if os.path.exists(stale):
             shutil.rmtree(stale)
+    for stale in (meta_new, meta_old):
+        if os.path.exists(stale):
+            os.remove(stale)
+    # tmp + os.replace = atomic: a kill mid-dump can't truncate the meta.
+    with open(meta_new + ".tmp", "w") as f:
+        json.dump(meta, f)
+    os.replace(meta_new + ".tmp", meta_new)
     ckptr.save(new, payload)
     ckptr.wait_until_finished()
     if os.path.exists(path):
         os.rename(path, old)
+        if os.path.exists(meta_live):
+            os.rename(meta_live, meta_old)
     os.rename(new, path)
+    os.replace(meta_new, meta_live)
     if os.path.exists(old):
         shutil.rmtree(old)
+    if os.path.exists(meta_old):
+        os.remove(meta_old)
     return path
 
 
 def _recover_swap(path: str) -> None:
     """Heal an interrupted save() swap: orbax's own commit is atomic, so
     ``path.new`` either doesn't exist or is complete; prefer it, else fall
-    back to the displaced previous checkpoint at ``path.old``."""
-    if os.path.exists(path):
+    back to the displaced previous checkpoint at ``path.old``. The meta
+    sidecar rides the same swap — recovery always installs the meta that
+    MATCHES the recovered payload (never a newer meta over older weights)."""
+    meta_live = path + ".meta.json"
+    if not os.path.exists(path):
+        for cand in (path + ".new", path + ".old"):
+            if os.path.exists(cand):
+                os.rename(cand, path)
+                if os.path.exists(cand + ".meta.json"):
+                    os.replace(cand + ".meta.json", meta_live)
+                return
         return
-    for cand in (path + ".new", path + ".old"):
-        if os.path.exists(cand):
-            os.rename(cand, path)
-            return
+    # Payload present but its meta still at a swap name (kill between the
+    # two final renames): the .new meta belongs to the live payload; the
+    # .old meta never does (its payload was displaced or deleted).
+    if not os.path.exists(meta_live) and os.path.exists(path + ".new.meta.json"):
+        os.replace(path + ".new.meta.json", meta_live)
 
 
 def restore(
@@ -246,7 +268,9 @@ def load_val_indices(name: str, directory: str) -> np.ndarray:
     path = _valset_path(directory, name)
     if os.path.exists(path):
         return np.load(path)
-    meta_path = _ckpt_dir(directory, name) + ".meta.json"
+    ckpt_path = _ckpt_dir(directory, name)
+    _recover_swap(ckpt_path)  # the meta may still sit at a swap name
+    meta_path = ckpt_path + ".meta.json"
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)

@@ -86,6 +86,19 @@ class Summary:
             if stream is not None
             else open(self.path, "a", encoding="utf-8")
         )
+        if self._owns_fh and os.path.getsize(self.path):
+            # Each completed run ends with an UNTERMINATED "BLEU-4 score:"
+            # line (reference byte parity, CLIP-DDPM.py:631). A resumed
+            # (CONTINUE_TRAIN) run appending to that file would glue its
+            # first write onto it — the reference does exactly that, and
+            # the glued "...score: Xepoch 0 average..." line is dropped by
+            # every epoch parser (ours and the reference's extract_float).
+            # Deliberate deviation (docs/PARITY.md): terminate the old line
+            # before appending a new segment.
+            with open(self.path, "rb") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    self._fh.write("\n")
         self._csv_path = (
             os.path.join(directory, f"{self.name}.csv") if csv_mirror else None
         )

@@ -304,7 +304,6 @@ def attn_ln_block(
     TPU: one fused Pallas forward (custom VJP; XLA + attention-kernel
     backward). Elsewhere: the XLA composition (autodiff)."""
     L = seq_len
-    D3 = 3 * x.shape[-1]
     if L > 32:
         force_xla = True  # same short-sequence regime bound as attention_core
     if (interpret or on_tpu()) and not force_xla:

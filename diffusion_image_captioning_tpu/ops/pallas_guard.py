@@ -87,6 +87,75 @@ print("PALLAS_ATTN_BLOCK_OK")
 
 _cached_block: Optional[bool] = None
 
+# Every Mosaic program of the fused rounding family: pallas_logprob (fwd),
+# pallas_logprob_savez (fwd, 3 outputs), pallas_dh_from_z (save-z backward).
+# The non-save-z backward is an XLA scan (no Mosaic program, cannot hang).
+# Like the attention probes this checks the kernel FORM at a small M (the
+# documented hang mode is form-level, 2026-08-16); full-size compiles share
+# the persistent cache once the form is proven.
+_ROUNDING_PROBE = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", {cache!r})
+from diffusion_image_captioning_tpu.ops.rounding import (
+    fused_logprob, fused_logprob_savez,
+)
+M, C, V = 256, {dim}, {vocab}
+ks = jax.random.split(jax.random.PRNGKey(0), 3)
+h = jax.random.normal(ks[0], (M, C), jnp.float32)
+W = jax.random.normal(ks[1], (C, V), jnp.float32) * 0.02
+idx = jax.random.randint(ks[2], (M,), 0, V, jnp.int32)
+f = lambda h: fused_logprob(h, W, idx, 1024, "auto", {dtype!r}).sum()
+fz = lambda h: fused_logprob_savez(h, W, idx, 1024, "auto", {dtype!r}).sum()
+out = jax.jit(f)(h)
+gz = jax.jit(jax.grad(fz))(h)  # compiles savez fwd + pallas_dh_from_z
+jax.block_until_ready((out, gz))
+print("PALLAS_ROUNDING_OK")
+"""
+
+_cached_rounding: Optional[bool] = None
+
+
+def rounding_kernel_ok(
+    *,
+    dim: int = 768,
+    vocab_size: int = 30522,
+    matmul_dtype: str = "bfloat16",
+    timeout_s: float = 1800.0,
+    verbose: bool = True,
+) -> bool:
+    """True iff the fused rounding kernels (ops/rounding_pallas.py: streamed
+    fwd, save-z fwd, dh-from-z bwd) compile AND run within ``timeout_s`` in
+    a sacrificial child — same watchdog rationale as attention_kernel_ok."""
+    global _cached_rounding
+    forced = os.environ.get("DIC_ROUNDING_BACKEND", "").lower()
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    if _cached_rounding is not None:
+        return _cached_rounding
+
+    import jax
+
+    if not any(d.platform in ("tpu", "axon") for d in jax.devices()):
+        _cached_rounding = True
+        return _cached_rounding
+
+    repo = _repo_root()
+    code = _ROUNDING_PROBE.format(
+        repo=repo,
+        cache=os.path.join(repo, ".jax_cache"),
+        dim=dim,
+        vocab=vocab_size,
+        dtype=matmul_dtype,
+    )
+    _cached_rounding = _run_probe(
+        code, "PALLAS_ROUNDING_OK", timeout_s, verbose, "rounding"
+    )
+    return _cached_rounding
+
 
 def attn_block_kernel_ok(
     *,
@@ -176,6 +245,20 @@ def guard_config(cfg):
         seq_len=cfg.fused_length, n_heads=cfg.n_heads, head_dim=cfg.head_dim
     ):
         cfg = cfg.replace(use_pallas_attn_block=False)
+    if (
+        cfg.use_fused_rounding_loss
+        and cfg.use_prob_loss
+        and not cfg.rounding_max_prob
+        and not rounding_kernel_ok(
+            dim=cfg.dim,
+            vocab_size=cfg.vocab_size,
+            matmul_dtype=cfg.compute_dtype,
+        )
+    ):
+        # Emergency fallback only: the dense [N, L, V] logits path
+        # (reference semantics, its memory peak included) — correctness
+        # over the fused kernel's speed when the remote compiler is sick.
+        cfg = cfg.replace(use_fused_rounding_loss=False)
     return cfg
 
 

@@ -122,6 +122,16 @@ class CaptionService:
     # -- lifecycle ----------------------------------------------------------
 
     def start(self, warmup: bool = True) -> "CaptionService":
+        if self._thread is not None:
+            # A live (or undead — see stop()) worker sharing the queue
+            # with a second one would mean two threads issuing concurrent
+            # device calls: the exact multi-client condition that wedges
+            # the remote chip (CLAUDE.md). Refuse rather than race.
+            raise RuntimeError(
+                "CaptionService already has a worker (start() called "
+                "twice, or a previous stop() timed out mid-device-call); "
+                "create a fresh service instead"
+            )
         if warmup:
             self._launch(
                 np.zeros((1, self._cfg.clip_dim), np.float32), [0]
@@ -139,9 +149,17 @@ class CaptionService:
         # below) or raises in _enqueue — no request can be stranded.
         with self._lock:
             self._stop.set()
+        wedged = False
         if self._thread is not None:
             self._thread.join(timeout=30)
-            self._thread = None
+            if self._thread.is_alive():
+                # The worker is stuck in a device call (wedged tunnel).
+                # Keep the handle so a later start() refuses to spawn a
+                # second worker next to it (concurrent device clients
+                # wedge the remote chip, CLAUDE.md).
+                wedged = True
+            else:
+                self._thread = None
         # Drain abandoned requests: a submit() racing the shutdown must
         # error out, not block forever on its event.
         while True:
@@ -151,6 +169,11 @@ class CaptionService:
                 break
             item.error = RuntimeError("CaptionService stopped")
             item.event.set()
+        if wedged:
+            raise RuntimeError(
+                "CaptionService worker did not exit within 30s "
+                "(wedged device call?); service is NOT restartable"
+            )
 
     def _enqueue(self, item: _Pending) -> None:
         with self._lock:

@@ -365,7 +365,15 @@ def fit(
     lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
     dyn = cfg.dynamic_rounding_weight
     if not isinstance(train_batches, PrefetchingLoader):
-        train_batches = PrefetchingLoader(train_batches)
+        # Prefetch directly INTO the mesh sharding: transferring to device 0
+        # first and resharding in prep() would move every batch twice
+        # through a single-device funnel. prep()'s device_put is then a
+        # no-op for train batches (already placed) and a real transfer
+        # only for the unwrapped val batches.
+        train_batches = PrefetchingLoader(
+            train_batches,
+            sharding=None if mesh is None else mesh_lib.batch_sharding(mesh),
+        )
 
     early_stopped = False
     history = []

@@ -107,6 +107,52 @@ class TestCheckpoint:
         assert int(restored.step) == int(state.step)
         assert os.path.isdir(path)
 
+    def test_crash_during_payload_keeps_old_meta_pairing(self, state, tmp_path):
+        """A save() that dies INSIDE the orbax write must not leave the new
+        run's meta (config + val split) paired with the previous payload —
+        restoring then would evaluate old weights on indices that were its
+        training rows (silently inflated BLEU)."""
+        ck.save(state, TINY, "run_pair", str(tmp_path), val_indices=np.arange(5))
+
+        class Boom(RuntimeError):
+            pass
+
+        import orbax.checkpoint as ocp
+
+        orig = ocp.StandardCheckpointer.save
+        try:
+            ocp.StandardCheckpointer.save = lambda *a, **k: (_ for _ in ()).throw(Boom())
+            with pytest.raises(Boom):
+                ck.save(
+                    state.replace(step=state.step + 1), TINY, "run_pair",
+                    str(tmp_path), val_indices=np.arange(5, 10),
+                )
+        finally:
+            ocp.StandardCheckpointer.save = orig
+        restored, _, val_idx = ck.restore("run_pair", str(tmp_path), template=state)
+        assert int(restored.step) == int(state.step)  # old payload...
+        np.testing.assert_array_equal(val_idx, np.arange(5))  # ...old meta
+
+    def test_crash_between_final_renames_recovers_matching_meta(
+        self, state, tmp_path
+    ):
+        """Kill window between rename(new -> path) and the meta replace:
+        the live payload's meta still sits at .new.meta.json — restore()
+        (and load_val_indices) must install THAT meta, not fail or fall
+        back to the displaced old one."""
+        path = ck.save(state, TINY, "run_pair2", str(tmp_path), val_indices=np.arange(3))
+        # simulate: new payload already renamed live, meta rename pending
+        os.replace(path + ".meta.json", path + ".old.meta.json")
+        with open(path + ".new.meta.json", "w") as f:
+            import json
+
+            json.dump({"config": {}, "val_indices": [7, 8, 9]}, f)
+        np.testing.assert_array_equal(
+            ck.load_val_indices("run_pair2", str(tmp_path)), [7, 8, 9]
+        )
+        assert os.path.exists(path + ".meta.json")
+        assert not os.path.exists(path + ".new.meta.json")
+
     def test_backend_portable_leaves(self, state, tmp_path):
         """save() must write HOST-resident (numpy) leaves: device arrays
         record their sharding in orbax metadata and a template-less

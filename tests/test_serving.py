@@ -138,6 +138,23 @@ class TestCaptionService:
         assert not t.is_alive()
         assert len(errors) == 1 and "stopped" in str(errors[0])
 
+    def test_clean_stop_then_restart(self):
+        """stop() -> start() restart works after a CLEAN stop; a second
+        start() on a live service refuses (two workers sharing the queue
+        would issue concurrent device calls — the wedge condition)."""
+        model, params = init_denoiser(TINY, jax.random.PRNGKey(2))
+        svc = CaptionService(
+            model, TINY, params, IdTokenizer(), max_batch=2, max_wait_ms=5.0
+        )
+        svc.start(warmup=False)
+        with pytest.raises(RuntimeError, match="already has a worker"):
+            svc.start(warmup=False)
+        svc.stop()
+        svc.start(warmup=False)  # restart after clean stop
+        cap = svc.submit(_feat(0), timeout=60)
+        assert isinstance(cap, str) and cap
+        svc.stop()
+
     def test_validation(self, service):
         with pytest.raises(ValueError):
             service.submit(np.zeros(TINY.clip_dim + 1, np.float32))
