@@ -187,6 +187,27 @@ class TestPallasGuard:
         assert pg.attention_kernel_ok() is True
         assert pg._cached is True
 
+    def test_rounding_guard_env_and_downgrade(self, monkeypatch):
+        """The fused rounding kernels are guard-probed like attention
+        (they are default-on Mosaic programs); a failed probe downgrades
+        use_fused_rounding_loss to the dense fallback."""
+        from diffusion_image_captioning_tpu.ops import pallas_guard as pg
+        from tests.tiny import TINY
+
+        monkeypatch.setattr(pg, "_cached_rounding", None)
+        monkeypatch.setenv("DIC_ROUNDING_BACKEND", "xla")
+        assert pg.rounding_kernel_ok() is False
+        cfg = pg.guard_config(TINY.replace(use_fused_rounding_loss=True))
+        assert cfg.use_fused_rounding_loss is False
+        monkeypatch.setenv("DIC_ROUNDING_BACKEND", "pallas")
+        assert pg.rounding_kernel_ok() is True
+        monkeypatch.delenv("DIC_ROUNDING_BACKEND")
+        monkeypatch.setattr(pg, "_cached_rounding", None)
+        # off-TPU: trivially OK, memoized
+        assert pg.rounding_kernel_ok() is True
+        cfg2 = pg.guard_config(TINY.replace(use_fused_rounding_loss=True))
+        assert cfg2.use_fused_rounding_loss is True
+
 
 class TestFfnBlock:
     """ops/ffn_block.py: fused FFN+LN vs the XLA oracle (interpret mode)."""
