@@ -165,6 +165,59 @@ class TestDpEquivalence:
             )
 
 
+class TestTpEquivalence:
+    """The jit/GSPMD path (the one pipeline.run_flickr_training wires) with
+    a data x model mesh must reproduce the single-device step BIT-FOR-MATH:
+    same train_step function, same key, state/batch merely sharded. Pins
+    that the vocab-TP param shardings and batch sharding change layout,
+    never semantics. threefry dropout (fast_dropout_rng=False) is
+    partitioning-invariant; rbg draws are not guaranteed to be."""
+
+    def test_jit_gspmd_matches_single_device(self, devices):
+        import jax.numpy as jnp
+
+        from diffusion_image_captioning_tpu import train as tr
+        from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+        from tests.tiny import TINY
+
+        cfg = TINY.replace(batch_size=8, fast_dropout_rng=False)
+        model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
+        tx = tr.make_optimizer(cfg)
+        step = tr.make_train_step(model, cfg, tx)
+        rng = np.random.default_rng(5)
+        batch = _tiny_batch(cfg, rng)
+        key = jax.random.PRNGKey(23)
+        lam = jnp.asarray(0.3, jnp.float32)
+
+        # sharded run (donating step: copied leaves)
+        mesh = mesh_lib.make_mesh(data=2, model=2, devices=devices[:4])
+        state_s = tr.init_train_state(
+            cfg, jax.tree.map(jnp.array, params), tx
+        )
+        state_s = jax.device_put(
+            state_s, mesh_lib.param_shardings(state_s, mesh)
+        )
+        sb = mesh_lib.shard_batch(batch, mesh)
+        with jax.set_mesh(mesh):
+            new_s, m_s = step(state_s, sb, key, lam)
+
+        # single-device oracle: the IDENTICAL step on unsharded state
+        state_1 = tr.init_train_state(cfg, params, tx)
+        new_1, m_1 = step(state_1, tr.device_batch(batch), key, lam)
+
+        for k in m_1:
+            np.testing.assert_allclose(
+                float(m_s[k]), float(m_1[k]), rtol=1e-5, err_msg=k
+            )
+        for k in new_1.trainable:
+            np.testing.assert_allclose(
+                np.asarray(new_s.trainable[k]),
+                np.asarray(new_1.trainable[k]),
+                atol=2e-5,
+                err_msg=str(k),
+            )
+
+
 class TestMeshPipeline:
     def test_flickr_training_on_mesh(self, devices, tmp_path):
         """End-to-end wiring (VERDICT round-1 item 2): run_flickr_training
