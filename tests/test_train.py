@@ -189,3 +189,48 @@ class TestFit:
         )
         assert len(hist) == 1
         assert calls == [(0, 1)]
+
+
+class TestAdamWTorchParity:
+    """The reference's optimizer IS torch.optim.AdamW at defaults
+    (CLIP-DDPM.py:335); make_optimizer must reproduce its update math —
+    including the reference's per-epoch param_group['lr'] mutation
+    (:520-522), which set_learning_rate mirrors via inject_hyperparams."""
+
+    def test_matches_torch_adamw_with_lr_override(self):
+        import optax
+
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(11)
+        p0 = rng.normal(size=(7, 5)).astype(np.float32)
+        grads = [
+            rng.normal(size=(7, 5)).astype(np.float32) for _ in range(6)
+        ]
+        cfg = TINY
+        tx = tr.make_optimizer(cfg)
+        params = {"w": jnp.asarray(p0)}
+        opt_state = tx.init(params)
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        topt = torch.optim.AdamW([tp], lr=cfg.learning_rate)
+        # torch defaults == Config defaults (betas, eps, weight_decay 0.01)
+        for i, g in enumerate(grads):
+            if i == 3:  # mid-run LR override, both sides
+                hp = dict(opt_state.hyperparams)
+                hp["learning_rate"] = jnp.asarray(
+                    cfg.end_learning_rate, jnp.float32
+                )
+                opt_state = opt_state._replace(hyperparams=hp)
+                for grp in topt.param_groups:
+                    grp["lr"] = cfg.end_learning_rate
+            updates, opt_state = tx.update(
+                {"w": jnp.asarray(g)}, opt_state, params
+            )
+            params = optax.apply_updates(params, updates)
+            topt.zero_grad()
+            tp.grad = torch.tensor(g)
+            topt.step()
+        np.testing.assert_allclose(
+            np.asarray(params["w"], np.float32),
+            tp.detach().numpy(),
+            atol=2e-6,
+        )
