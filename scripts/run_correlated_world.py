@@ -39,6 +39,13 @@ def main() -> None:
     p.add_argument("--out", default=".")
     p.add_argument("--name", default=None,
                    help="rename the log to runs/-style <name>.txt after")
+    p.add_argument("--resume", action="store_true",
+                   help="first segment also resumes (continue_train) from "
+                        "the run's existing checkpoint — re-drive a wedged "
+                        "run with the REMAINING --epochs/--segments. The "
+                        "per-segment epoch_num (epochs/segments) must match "
+                        "the original invocation's, since it is part of the "
+                        "run-name codec the checkpoint lives under.")
     p.add_argument("--segments", type=int, default=1,
                    help="split the run into N continue_train segments of "
                         "epochs/N each. Long-run wedge mitigation: the "
@@ -77,7 +84,7 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
     for seg in range(args.segments):
-        c = dataclasses.replace(cfg, continue_train=seg > 0)
+        c = dataclasses.replace(cfg, continue_train=args.resume or seg > 0)
         pipeline.run_flickr_training(c, d, None, out_dir=args.out)
         print(f"segment {seg + 1}/{args.segments} done "
               f"({time.time() - t0:.0f} s)", flush=True)
