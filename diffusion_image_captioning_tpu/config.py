@@ -115,6 +115,12 @@ class Config:
     # --- sampling / eval (CLIP-DDPM.py:592,616; COCO_BLEU.py:252) ---
     refine_steps_eval: int = 5        # model applications per caption at BLEU eval
     refine_steps_demo: int = 10       # demo refinement depth
+    bleu_draws: int = 1               # TPU extension: from-noise BLEU eval is a
+    # stochastic draw (the reference scores ONE noise init, CLIP-DDPM.py:613)
+    # with measured ±0.04-0.07 spread at convergence (runs/README.md). >1 runs
+    # the val BLEU loop K times from independent noise and logs mean ± sd; the
+    # final byte-compatible "BLEU-4 score:" line then carries the mean.
+    # Default 1 = reference-exact single draw.
 
     # --- TPU: numerics & kernels (extensions; defaults keep reference math) ---
     compute_dtype: str = "bfloat16"   # matmul/activation dtype; params stay fp32

@@ -175,6 +175,61 @@ def write_demos(
     summary.flush()
 
 
+def write_lm_demos(
+    summary,
+    model,
+    cfg: Config,
+    params,
+    columns: dict,
+    val_indices: np.ndarray,
+    tokenizer,
+    seed: int = 0,
+):
+    """Text-only qualitative demo — the lm-trial multi-step restore
+    (lm-trial/main.ipynb cell 21; same shape as CLIP-DDPM.py:591-602):
+    (a) decode x0 straight through the vocab head ("x_0 ground truth");
+    (b) q-sample a val sentence to t=25 and decode 5 successive model
+        applications ("inferred:");
+    (c) single-shot restoration at t = 5, 30, ..., <500 ("t effectiveness").
+    Demo decodes are plain argmax, no dedup (cell 21 `out.argmax(dim=-1)`)."""
+    abar = schedules.alpha_cumprod_table(cfg)
+    i = int(val_indices[0])
+    summary.write(f"origin text: {columns['text'][i]}\n")
+
+    ids = jnp.asarray(columns["input_ids"][i : i + 1])
+    mask = jnp.asarray(columns["attention_mask"][i : i + 1], jnp.float32)
+    x0 = model.apply({"params": params}, ids, method="embed")
+    gt_logits = model.apply({"params": params}, x0, method="decode_logits")
+    summary.write(
+        f"x_0 ground truth: {tokenizer.decode(np.asarray(gt_logits).argmax(-1)[0])}\n"
+    )
+
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    from diffusion_image_captioning_tpu.diffusion import q_sample
+
+    t0 = min(25, cfg.step_tot - 1)  # cell 21 noises to t=25
+    summary.write(f"t = {t0}\n")
+    x_t = q_sample(
+        abar, x0, jnp.asarray([t0], jnp.int32), k1, shared_noise=False
+    )
+    _, _, logits_seq = sample.refine(
+        model, cfg, params, x_t, None, steps=5, collect_logits=True
+    )
+    for step_logits in np.asarray(logits_seq):
+        summary.write(f"inferred: {tokenizer.decode(step_logits.argmax(-1)[0])}\n")
+
+    summary.write("text t effectiveness\n")
+    probes = jnp.arange(5, min(500, cfg.step_tot), 25, dtype=jnp.int32)
+    logits = sample.restore_at_t(
+        model, cfg, params, abar, x0, probes,
+        jnp.zeros((1, cfg.clip_dim), jnp.float32), mask, k2,
+    )
+    for t_val, row_logits in zip(np.asarray(probes), np.asarray(logits)):
+        summary.write(f"t: {int(t_val)} restore: {tokenizer.decode(row_logits.argmax(-1))}\n")
+    summary.flush()
+
+
 def run_val_bleu(
     summary,
     model,
@@ -187,24 +242,35 @@ def run_val_bleu(
 ) -> float:
     """Val-split BLEU-4 loop (CLIP-DDPM.py:604-631): 5-step sampling from
     noise, dedup-decode, all GT captions per image as references, per-batch
-    corpus BLEU averaged over batches."""
-    key = jax.random.PRNGKey(seed)
-    acc = 0.0
-    n = 0
-    for batch in val_batcher:
-        key, k = jax.random.split(key)
-        clip = jnp.asarray(batch["image_clip"])
-        ids = sample.sample_caption_ids(
-            model, cfg, params, clip, k, steps=cfg.refine_steps_eval
-        )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
-        cands = [
-            tokenizer.decode(row) for row in sample.dedup_consecutive(ids)
-        ]
-        refs = [gt_table[img] for img in batch["image"]]
-        acc += eval_bleu.flickr_batch_bleu(cands, refs)
-        n += 1
-        if cfg.debug:
-            break
+    corpus BLEU averaged over batches.
+
+    cfg.bleu_draws > 1 repeats the whole loop from independent noise draws
+    and logs mean ± sd (the from-noise eval is stochastic with measured
+    ±0.04-0.07 spread at convergence — VERDICT round-2 item 4); draw 0 uses
+    the exact key stream of the single-draw protocol."""
+    draws = max(cfg.bleu_draws, 1)
+    scores, n = [], 0
+    for d in range(draws):
+        key = jax.random.PRNGKey(seed)
+        if d:
+            key = jax.random.fold_in(key, d)
+        acc = 0.0
+        n = 0
+        for batch in val_batcher:
+            key, k = jax.random.split(key)
+            clip = jnp.asarray(batch["image_clip"])
+            ids = sample.sample_caption_ids(
+                model, cfg, params, clip, k, steps=cfg.refine_steps_eval
+            )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
+            cands = [
+                tokenizer.decode(row) for row in sample.dedup_consecutive(ids)
+            ]
+            refs = [gt_table[img] for img in batch["image"]]
+            acc += eval_bleu.flickr_batch_bleu(cands, refs)
+            n += 1
+            if cfg.debug:
+                break
+        scores.append(acc / max(n, 1))
     if n == 0:
         # drop-last batching: a val split smaller than batch_size yields
         # ZERO batches — a logged 0.0 would masquerade as a real score
@@ -215,7 +281,18 @@ def run_val_bleu(
             "configuration artifact, not a measurement",
             file=sys.stderr,
         )
-    score = acc / max(n, 1)
+    if draws > 1:
+        mean = float(np.mean(scores))
+        sd = float(np.std(scores, ddof=1))
+        # Additive observability line BEFORE the contractual final line (the
+        # epoch-line parser keys on 'epoch ' / 'BLEU-4 score:' prefixes).
+        summary.write(
+            f"BLEU-4 draws (n={draws}): mean {mean:.6f} sd {sd:.6f} "
+            f"values {[round(s, 6) for s in scores]}\n"
+        )
+        score = mean
+    else:
+        score = scores[0]
     # NO trailing newline: the reference's final log write is
     # `summary.write(f"BLEU-4 score: {...}")` (CLIP-DDPM.py:631) and the
     # line format is byte-contractual (logs end without a newline).
@@ -365,5 +442,9 @@ def run_lm_trial(
         seed=seed, summary=summary,
         checkpoint_fn=lambda s, tag: ck.save(s, cfg, name, out_dir),
     )
+    # Multi-step restore demo (lm-trial/main.ipynb cell 21) — the text-only
+    # analog of write_demos, appended to the run log like the flickr path.
+    params = tr.merge_params(state.trainable, state.frozen)
+    write_lm_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
     summary.close()
     return state, history, tokenizer

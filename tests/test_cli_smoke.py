@@ -42,23 +42,122 @@ def run_cli(script: str, args, cwd: str) -> subprocess.CompletedProcess:
     return proc
 
 
-def test_train_clip_ddpm_cli(tmp_path):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    """One tiny train_clip_ddpm.py run shared by the eval-script smokes:
+    returns (out_dir, run_name, captions_csv, stdout)."""
     from diffusion_image_captioning_tpu.data.synthetic import (
         synthetic_flickr_dirs,
     )
 
-    d8k = synthetic_flickr_dirs(str(tmp_path / "flickr8k"), n=60)
+    out = tmp_path_factory.mktemp("trained_run")
+    d8k = synthetic_flickr_dirs(str(out / "flickr8k"), n=60)
     proc = run_cli(
         "train_clip_ddpm.py",
-        ["--flickr8k_dir", d8k, "--out_dir", str(tmp_path), *TINY_FLAGS],
-        cwd=str(tmp_path),
+        ["--flickr8k_dir", d8k, "--out_dir", str(out), *TINY_FLAGS],
+        cwd=str(out),
     )
-    assert "final BLEU-4:" in proc.stdout
-    logs = [p for p in os.listdir(tmp_path) if p.endswith(".txt")]
+    logs = [p for p in os.listdir(out) if p.endswith(".txt")]
     assert len(logs) == 1, logs
-    txt = (tmp_path / logs[0]).read_text()
+    name = logs[0][: -len(".txt")]  # summary file is {MODEL_NAME}.txt
+    return str(out), name, os.path.join(d8k, "captions.txt"), proc.stdout
+
+
+def test_train_clip_ddpm_cli(trained_run):
+    out, name, _, stdout = trained_run
+    assert "final BLEU-4:" in stdout
+    txt = open(os.path.join(out, name + ".txt")).read()
     for marker in ("epoch 0 average", "inferred:", "BLEU-4 score:"):
         assert marker in txt, (marker, txt[-2000:])
+
+
+@pytest.fixture(scope="module")
+def coco_fixture(tmp_path_factory):
+    """Tiny synthetic COCO val2014 layout: 3 JPEGs + caption JSON."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "val2014"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    images, annotations = [], []
+    for i in range(3):
+        fn = f"img_{i}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, (96, 80, 3), dtype=np.uint8)
+        ).save(img_dir / fn)
+        images.append({"id": i, "file_name": fn})
+        annotations.append({"image_id": i, "caption": f"a dog in park {i}"})
+    ann = root / "captions.json"
+    ann.write_text(json.dumps({"images": images, "annotations": annotations}))
+    return str(img_dir), str(ann)
+
+
+def test_coco_bleu_cli(trained_run, coco_fixture):
+    """COCO zero-shot evaluator as a subprocess (COCO_BLEU.py:234-268
+    contract): random CLIP weights gated behind --allow_random_clip, run-name
+    guard against the checkpoint codec, prints the averaged BLEU."""
+    out, name, captions, _ = trained_run
+    img_dir, ann = coco_fixture
+    proc = run_cli(
+        "coco_bleu.py",
+        [name, "--ckpt_dir", out, "--coco_root", img_dir, "--ann_file", ann,
+         "--captions", captions, "--allow_random_clip",
+         "--batch_size", "2", "--limit", "3"],
+        cwd=out,
+    )
+    score = float(proc.stdout.strip().splitlines()[-1])
+    assert 0.0 <= score <= 1.0
+
+
+def test_caption_image_cli(trained_run, coco_fixture):
+    """Zero-shot single-image captioning (notebook cell 24) end to end."""
+    out, name, captions, _ = trained_run
+    img_dir, _ = coco_fixture
+    proc = run_cli(
+        "caption_image.py",
+        [os.path.join(img_dir, "img_0.jpg"), name, "--ckpt_dir", out,
+         "--captions", captions, "--allow_random_clip", "--steps", "2"],
+        cwd=out,
+    )
+    assert proc.stdout.strip(), proc.stdout  # decoded caption printed
+
+
+def test_extract_clip_features_cli(trained_run, coco_fixture, tmp_path):
+    """Fresh CLIP feature extraction (replaces the reference's downloaded
+    pickles, CLIP-DDPM.py:123-126): unique-image dedup + row-aligned output."""
+    import numpy as np
+
+    img_dir, _ = coco_fixture
+    csv = tmp_path / "captions.txt"
+    # 5 caption rows over 3 unique images — exercises the dedup/scatter
+    rows = [
+        ("img_0.jpg", "a dog runs"), ("img_0.jpg", "a dog sits"),
+        ("img_1.jpg", "two people walk"), ("img_2.jpg", "a red bicycle"),
+        ("img_2.jpg", "the bicycle leans"),
+    ]
+    csv.write_text(
+        "image,caption\n" + "\n".join(f'{i},"{c}"' for i, c in rows) + "\n"
+    )
+    proc = run_cli(
+        "extract_clip_features.py",
+        ["--images_dir", img_dir, "--captions", str(csv),
+         "--out_dir", str(tmp_path), "--allow_random_clip",
+         "--batch_size", "2"],
+        cwd=str(tmp_path),
+    )
+    assert "wrote" in proc.stdout
+    feats = np.load(tmp_path / "image_clip.npy")
+    assert feats.shape == (5, 512)
+    # rows of the same image share one feature; distinct images differ
+    assert np.allclose(feats[0], feats[1]) and np.allclose(feats[3], feats[4])
+    assert not np.allclose(feats[0], feats[2])
 
 
 def test_lm_trial_cli(tmp_path):
@@ -84,7 +183,16 @@ def test_lm_trial_cli(tmp_path):
     assert "losses:" in proc.stdout, proc.stdout
     logs = [p for p in os.listdir(tmp_path) if p.endswith(".txt")]
     assert len(logs) == 1, logs
-    assert "epoch 0 average" in (tmp_path / logs[0]).read_text()
+    txt = (tmp_path / logs[0]).read_text()
+    assert "epoch 0 average" in txt
+    # multi-step restore demo (lm-trial/main.ipynb cell 21): 5 refinement
+    # decodes from x_25 plus the t-effectiveness sweep
+    for marker in (
+        "origin text:", "x_0 ground truth:", "t = 25", "inferred:",
+        "text t effectiveness", "t: 5 restore:", "t: 480 restore:",
+    ):
+        assert marker in txt, (marker, txt[-2000:])
+    assert txt.count("inferred:") == 5, txt[-2000:]
 
 
 def test_plot_trials_cli(tmp_path):

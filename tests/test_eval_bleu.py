@@ -108,3 +108,60 @@ class TestProtocol:
         assert toks == ["a", "dog", "runs", "fast"]
         refs = eb.coco_reference_tokens(["A dog RUNS"], 16)
         assert refs == [["[CLS]", "a", "dog", "runs", "[SEP]"]]
+
+
+class TestMultiDrawValBleu:
+    def test_mean_sd_logged_and_draw0_matches_single(self, tmp_path):
+        """cfg.bleu_draws > 1 repeats the from-noise val loop K times and
+        logs mean ± sd; draw 0 reuses the single-draw key stream so the
+        reference-exact protocol is a strict prefix (VERDICT r2 item 4)."""
+        import io
+
+        import jax
+
+        from diffusion_image_captioning_tpu import pipeline
+        from diffusion_image_captioning_tpu.data import Batcher
+        from diffusion_image_captioning_tpu.data.synthetic import (
+            synthetic_captions,
+            synthetic_clip_features,
+        )
+        from diffusion_image_captioning_tpu.data.tokenizers import (
+            WordPieceTokenizer,
+            build_wordpiece_vocab,
+        )
+        from diffusion_image_captioning_tpu.data import flickr
+        from diffusion_image_captioning_tpu.models.denoiser import init_denoiser
+        from tests.tiny import TINY
+
+        cfg = TINY.replace(refine_steps_eval=2)
+        imgs, caps = synthetic_captions(8)
+        tok = WordPieceTokenizer(build_wordpiece_vocab(caps, cfg.vocab_size))
+        cols = flickr.make_flickr_dataset(
+            imgs, caps, synthetic_clip_features(8), synthetic_clip_features(8),
+            tok, cfg.max_length,
+        )
+        idx = np.arange(8)
+        model, params = init_denoiser(cfg, jax.random.PRNGKey(0))
+        gt = flickr.captions_by_image(imgs, caps)
+
+        class Buf(io.StringIO):
+            flush = lambda self: None  # noqa: E731
+
+        single = Buf()
+        s1 = pipeline.run_val_bleu(
+            single, model, cfg, params,
+            Batcher(cols, idx, cfg.batch_size, shuffle=False), tok, gt,
+        )
+        multi = Buf()
+        s3 = pipeline.run_val_bleu(
+            multi, model, cfg.replace(bleu_draws=3), params,
+            Batcher(cols, idx, cfg.batch_size, shuffle=False), tok, gt,
+        )
+        txt = multi.getvalue()
+        assert "BLEU-4 draws (n=3): mean" in txt and "sd" in txt
+        assert txt.rstrip().rsplit("BLEU-4 score: ", 1)[1] == str(s3)
+        # draw 0 of the multi run IS the single-draw protocol
+        vals = txt.split("values [")[1].split("]")[0].split(", ")
+        assert float(vals[0]) == pytest.approx(s1, abs=1e-6)
+        # the contractual final line still ends WITHOUT a trailing newline
+        assert not txt.endswith("\n")
