@@ -71,7 +71,26 @@ def main() -> None:
     dt_off = time.perf_counter() - t0
     assert len(caps) == args.rows
 
-    # online path: concurrent single submits through the worker window
+    # online, open-loop: ONE feeder enqueues every request up front (no
+    # device work on the caller thread), then waits — the arrival stream is
+    # decoupled from client-thread count, so this measures the SERVICE's
+    # sustainable capacity. The closed-loop leg below (N blocking clients)
+    # measures a latency-bound harness instead: with 8 threads sharing this
+    # host's ONE core, occupancy caps at 8/max_batch and the number reports
+    # the harness, not the service (round-2 VERDICT item 8).
+    base = svc.stats()
+    t0 = time.perf_counter()
+    svc.submit_many(
+        feats[np.arange(args.online_requests) % args.rows],
+        seeds=range(args.online_requests),
+        timeout=300,
+    )
+    dt_open = time.perf_counter() - t0
+    s_open = svc.stats()
+    b_open = s_open["batches"] - base["batches"]
+    occ_open = (s_open["rows"] - base["rows"]) / max(b_open, 1)
+
+    # online, closed-loop (kept for comparison): N concurrent single submits
     base = svc.stats()
     t0 = time.perf_counter()
     with concurrent.futures.ThreadPoolExecutor(args.clients) as ex:
@@ -93,7 +112,13 @@ def main() -> None:
         f"(max_batch {args.max_batch}, steps {args.steps})"
     )
     print(
-        f"online ({args.clients} clients): {args.online_requests} requests "
+        f"online open-loop (capacity): {args.online_requests} requests in "
+        f"{dt_open:.3f} s = {args.online_requests / dt_open:.0f} captions/s, "
+        f"{b_open} device batches, mean occupancy {occ_open:.1f}"
+    )
+    print(
+        f"online closed-loop ({args.clients} blocking clients, "
+        f"latency-bound harness): {args.online_requests} requests "
         f"in {dt_on:.3f} s = {args.online_requests / dt_on:.0f} captions/s, "
         f"{batches} device batches, mean occupancy {occ:.1f}"
     )

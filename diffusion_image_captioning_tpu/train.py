@@ -24,7 +24,12 @@ TPU-first deviations (math-preserving):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional
+
+# Bench-only experiment toggle — see make_train_step. Read at import so the
+# flag is uniform across every step a process traces.
+_OPT_BARRIER = bool(os.environ.get("DIC_OPT_BARRIER"))
 
 import jax
 import jax.numpy as jnp
@@ -277,6 +282,13 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.trainable
         )
+        if _OPT_BARRIER:
+            # Experiment toggle (bench/fusion_barrier_sweep.py): materialize
+            # grads before the optimizer so XLA cannot fuse the weight-grad
+            # matmuls with their AdamW elementwise updates — tests whether
+            # those mixed fusions are what holds the dW matmuls at 52-65%
+            # MXU (docs/PERF.md per-op audit).
+            grads = jax.lax.optimization_barrier(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
         new_state = state.replace(
