@@ -48,18 +48,26 @@ _PLACES = ["on the grass", "at the beach", "in the park", "on the street",
 
 
 def synthetic_correlated_captions(
-    n_images: int, clip_dim: int = 512, seed: int = 0
+    n_images: int, clip_dim: int = 512, seed: int = 0, axes_seed: int | None = None
 ):
     """A learnable captioning world: each image is a (subject, verb, place)
     triple; its "CLIP" feature is a fixed random embedding of the triple
     (plus small per-image noise), and its 5 captions are word-order
     paraphrases of the triple. A model that uses the image conditioning can
     predict the caption content — so val BLEU-4 meaningfully exceeds the
-    unconditioned floor (unlike uniformly random captions)."""
+    unconditioned floor (unlike uniformly random captions).
+
+    ``axes_seed`` (optional) seeds the per-axis embedding tables from a
+    SEPARATE stream so two worlds with different ``seed`` can share one
+    "CLIP space" — the combined Flickr8k+30k protocol needs both datasets'
+    features to live in the same embedding geometry, like real CLIP.
+    Default (None) keeps the original single-stream draw order, so archived
+    correlated-world runs reproduce byte-identically."""
     rng = np.random.default_rng(seed)
+    axes_rng = rng if axes_seed is None else np.random.default_rng(axes_seed)
     axes = {}
     for name, vocab in (("s", _SUBJECTS), ("v", _VERBS), ("p", _PLACES)):
-        axes[name] = rng.normal(size=(len(vocab), clip_dim)).astype(np.float32)
+        axes[name] = axes_rng.normal(size=(len(vocab), clip_dim)).astype(np.float32)
 
     imgs, caps, feats = [], [], []
     for i in range(n_images):
@@ -99,6 +107,36 @@ def synthetic_correlated_flickr_dir(tmp_dir: str, n_images: int = 800, seed: int
     np.save(os.path.join(tmp_dir, "image_clip.npy"), feats)
     # text features: caption-side embedding = image feature (they encode
     # the same triple), small independent noise
+    rng = np.random.default_rng(seed + 99)
+    txt = feats + 0.05 * rng.normal(size=feats.shape).astype(np.float32)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    np.save(os.path.join(tmp_dir, "text_clip.npy"), txt)
+    return tmp_dir
+
+
+def synthetic_correlated_flickr30k_dir(
+    tmp_dir: str, n_images: int = 2000, seed: int = 1000, axes_seed: int = 0
+) -> str:
+    """Materialize a correlated world in the REAL Flickr30k layout: a
+    '|'-separated ``captions.csv`` with padded ``image_name| comment_number|
+    caption`` cells (the Kaggle export format the reference loads at
+    CLIP-DDPM.py:209-210) plus ``image_clip.npy``/``text_clip.npy``.
+
+    Pass the 8k world's seed as ``axes_seed`` so both halves of a combined
+    Flickr8k+30k-shape protocol share one CLIP embedding geometry while
+    drawing disjoint images."""
+    import os
+
+    os.makedirs(tmp_dir, exist_ok=True)
+    imgs, caps, feats = synthetic_correlated_captions(
+        n_images, seed=seed, axes_seed=axes_seed
+    )
+    with open(os.path.join(tmp_dir, "captions.csv"), "w") as f:
+        f.write("image_name| comment_number| caption\n")
+        for i, (img, cap) in enumerate(zip(imgs, caps)):
+            # 30k image ids are numeric-ish and distinct from the 8k world's
+            f.write(f"30k_{img}| {i % 5}| {cap}\n")
+    np.save(os.path.join(tmp_dir, "image_clip.npy"), feats)
     rng = np.random.default_rng(seed + 99)
     txt = feats + 0.05 * rng.normal(size=feats.shape).astype(np.float32)
     txt /= np.linalg.norm(txt, axis=1, keepdims=True)

@@ -29,13 +29,26 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=32)
     p.add_argument("--images", type=int, default=800)
+    p.add_argument("--images30k", type=int, default=0,
+                   help="also build a correlated world in the REAL Flickr30k "
+                        "layout (pipe-separated captions.csv) with this many "
+                        "images, sharing the 8k world's CLIP axis space, and "
+                        "train on the combined vstack — the reference's "
+                        "Flickr30k+8k protocol shape (README.md:15: 10 "
+                        "epochs, 11 h on one A30 ≈ --images 8091 "
+                        "--images30k 31783 --train_set_ratio 0.8)")
     p.add_argument("--train_set_ratio", type=float, default=0.95,
                    help="0.95 is the blessed flagship config; 0.8 is the "
                         "reference CLIP-DDPM.py default and the split the "
                         "5h-for-15-epochs A30 wall-clock baseline implies "
                         "(~4045 steps/epoch at 8k-scale --images 8091)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--bleu_draws", type=int, default=1,
+                   help=">1 repeats the from-noise val BLEU eval from K "
+                        "independent noise draws and logs mean±sd (single "
+                        "draws spread ±0.04-0.07 at convergence)")
     p.add_argument("--world_dir", default="/tmp/corrworld_ck")
+    p.add_argument("--world30_dir", default="/tmp/corrworld30_ck")
     p.add_argument("--out", default=".")
     p.add_argument("--name", default=None,
                    help="rename the log to runs/-style <name>.txt after")
@@ -68,6 +81,7 @@ def main() -> None:
     from diffusion_image_captioning_tpu import pipeline
     from diffusion_image_captioning_tpu.config import Config, model_name
     from diffusion_image_captioning_tpu.data.synthetic import (
+        synthetic_correlated_flickr30k_dir,
         synthetic_correlated_flickr_dir,
     )
 
@@ -78,14 +92,21 @@ def main() -> None:
         rounding_weight=0.3,
         train_set_ratio=args.train_set_ratio,
         early_stop_ratio=1.02,
+        bleu_draws=args.bleu_draws,
     )
     d = synthetic_correlated_flickr_dir(args.world_dir, n_images=args.images,
                                         seed=args.seed)
+    d30 = None
+    if args.images30k:
+        d30 = synthetic_correlated_flickr30k_dir(
+            args.world30_dir, n_images=args.images30k,
+            seed=args.seed + 1000, axes_seed=args.seed,
+        )
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
     for seg in range(args.segments):
         c = dataclasses.replace(cfg, continue_train=args.resume or seg > 0)
-        pipeline.run_flickr_training(c, d, None, out_dir=args.out)
+        pipeline.run_flickr_training(c, d, d30, out_dir=args.out)
         print(f"segment {seg + 1}/{args.segments} done "
               f"({time.time() - t0:.0f} s)", flush=True)
     wall = time.time() - t0

@@ -164,6 +164,42 @@ class TestFlickr:
         assert imgs == ["x.jpg"]
         assert caps[0].strip() == "A man."
 
+    def test_correlated_30k_dir_combines(self, tmp_path):
+        """The combined-protocol world builder: a correlated world in the
+        real Flickr30k layout ('|'-separated, padded cells) that
+        load_combined vstacks after the 8k world, sharing its CLIP axis
+        space (axes_seed) so conditioning transfers across the halves."""
+        from diffusion_image_captioning_tpu.data.synthetic import (
+            synthetic_correlated_flickr30k_dir,
+            synthetic_correlated_flickr_dir,
+        )
+
+        d8 = synthetic_correlated_flickr_dir(
+            str(tmp_path / "c8"), n_images=4, seed=0
+        )
+        d30 = synthetic_correlated_flickr30k_dir(
+            str(tmp_path / "c30"), n_images=3, seed=1000, axes_seed=0
+        )
+        imgs, caps, img_f, txt_f = flickr.load_combined(d8, d30)
+        assert len(imgs) == len(caps) == (4 + 3) * 5
+        assert img_f.shape == (35, 512) and txt_f.shape == (35, 512)
+        assert imgs[0].startswith("img_") and imgs[-1].startswith("30k_")
+        # padded caption cells are preserved verbatim (reference parity)
+        assert caps[-1].startswith(" ")
+        np.testing.assert_allclose(
+            np.linalg.norm(img_f, axis=1), 1.0, atol=1e-5
+        )
+        # shared axis space: a 30k image whose triple matches an 8k image
+        # would embed nearby; at minimum the two halves' features are NOT
+        # from independent spaces — check axes reuse via determinism
+        d30b = synthetic_correlated_flickr30k_dir(
+            str(tmp_path / "c30b"), n_images=3, seed=1000, axes_seed=0
+        )
+        np.testing.assert_array_equal(
+            np.load(os.path.join(d30, "image_clip.npy")),
+            np.load(os.path.join(d30b, "image_clip.npy")),
+        )
+
     def test_make_dataset_aligned(self, tmp_path):
         vocab = {"START": 0, "END": 1, "UNK": 2, "PAD": 3}
         t = tk.DictTokenizer(vocab)
