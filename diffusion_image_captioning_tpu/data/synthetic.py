@@ -94,11 +94,33 @@ def synthetic_correlated_captions(
     return imgs, caps, np.stack(feats)
 
 
+def _world_cached(tmp_dir: str, captions_name: str, n_rows: int) -> bool:
+    """True if tmp_dir already holds a complete world of n_rows rows —
+    builders are deterministic in (n_images, seed), so segment restarts of
+    long supervised runs can skip the ~minutes-scale regeneration."""
+    import os
+
+    cap = os.path.join(tmp_dir, captions_name)
+    npy = os.path.join(tmp_dir, "image_clip.npy")
+    txt = os.path.join(tmp_dir, "text_clip.npy")
+    if not (os.path.exists(cap) and os.path.exists(npy) and os.path.exists(txt)):
+        return False
+    try:
+        return (
+            np.load(npy, mmap_mode="r").shape[0] == n_rows
+            and np.load(txt, mmap_mode="r").shape[0] == n_rows
+        )
+    except Exception:  # noqa: BLE001 — torn write -> rebuild
+        return False
+
+
 def synthetic_correlated_flickr_dir(tmp_dir: str, n_images: int = 800, seed: int = 0) -> str:
     """Materialize the correlated world in flickr8k layout."""
     import os
 
     os.makedirs(tmp_dir, exist_ok=True)
+    if _world_cached(tmp_dir, "captions.txt", n_images * 5):
+        return tmp_dir
     imgs, caps, feats = synthetic_correlated_captions(n_images, seed=seed)
     with open(os.path.join(tmp_dir, "captions.txt"), "w") as f:
         f.write("image,caption\n")
@@ -128,6 +150,8 @@ def synthetic_correlated_flickr30k_dir(
     import os
 
     os.makedirs(tmp_dir, exist_ok=True)
+    if _world_cached(tmp_dir, "captions.csv", n_images * 5):
+        return tmp_dir
     imgs, caps, feats = synthetic_correlated_captions(
         n_images, seed=seed, axes_seed=axes_seed
     )

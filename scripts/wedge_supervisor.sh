@@ -1,0 +1,82 @@
+#!/bin/bash
+# Wedge-supervised long-run driver for the remote-TPU environment.
+#
+# The remote tunnel can wedge a device call mid-epoch (CLAUDE.md: observed
+# repeatedly 2026-08-17..19; the host futex-waits forever, and fit()'s
+# StallWatchdog only WARNS on stderr). This supervisor makes reference-
+# protocol-scale runs survivable: it drives ONE 1-epoch continue_train
+# segment per child process (scripts/run_correlated_world.py), watches the
+# segment log for the watchdog line, kills a stalled child's process group,
+# cools down (redialing a freshly-wedged tunnel too quickly wedges again),
+# and retries with --resume from the last checkpoint. Progress is counted
+# from the run log itself (one "BLEU-4 score:" per completed segment), so
+# the supervisor is idempotent — re-running it continues where it stopped.
+#
+# Usage:
+#   EPOCHS=10 OUT=runs_combined \
+#   EXTRA="--images 8091 --images30k 31783 --train_set_ratio 0.8 --bleu_draws 3" \
+#   bash scripts/wedge_supervisor.sh
+set -u
+cd "$(dirname "$0")/.."
+
+EPOCHS=${EPOCHS:-10}
+OUT=${OUT:-runs_combined}
+COOLDOWN=${COOLDOWN:-300}        # after a kill: let the tunnel recover
+SETTLE=${SETTLE:-60}             # after a clean exit: gentle redial gap
+STALL_S=${STALL_S:-420}          # watchdog fires after this many silent s
+SEG_CAP_S=${SEG_CAP_S:-3000}     # hard per-segment cap: the watchdog covers
+                                 # only the train/val loops; a wedge in data
+                                 # load / BLEU / demos is caught by this
+EXTRA=${EXTRA:---images 8091 --images30k 31783 --train_set_ratio 0.8 --bleu_draws 3}
+
+mkdir -p "$OUT"
+
+completed() {
+  # one contractual "BLEU-4 score:" write per completed segment; -a because
+  # the log glues binary-ish bytes from demo decodes on some worlds
+  cat "$OUT"/epoch1_*.txt 2>/dev/null | grep -oa "BLEU-4 score:" | wc -l
+}
+
+attempt=0
+while :; do
+  done_n=$(completed)
+  if [ "$done_n" -ge "$EPOCHS" ]; then
+    echo "[supervisor] complete: $done_n/$EPOCHS epochs"
+    break
+  fi
+  attempt=$((attempt + 1))
+  if [ "$attempt" -gt $((EPOCHS * 4)) ]; then
+    echo "[supervisor] giving up after $attempt attempts ($done_n/$EPOCHS)"
+    exit 1
+  fi
+  resume=""
+  if ls -d "$OUT"/epoch1_*.ckpt >/dev/null 2>&1; then resume="--resume"; fi
+  seglog="$OUT/segment_a${attempt}.log"
+  echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${resume:-fresh} -> $seglog"
+  DIC_STALL_TIMEOUT_S=$STALL_S setsid timeout "$SEG_CAP_S" \
+    python scripts/run_correlated_world.py \
+    --epochs 1 --segments 1 $resume $EXTRA --out "$OUT" >"$seglog" 2>&1 &
+  pid=$!
+  stalled=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 30
+    if grep -aq "no progress" "$seglog"; then
+      echo "[supervisor] watchdog stall in $seglog — killing pg $pid"
+      kill -9 -- -"$pid" 2>/dev/null || kill -9 "$pid" 2>/dev/null
+      stalled=1
+      break
+    fi
+  done
+  wait "$pid" 2>/dev/null
+  rc=$?
+  echo "[supervisor] segment rc=$rc stalled=$stalled done=$(completed)/$EPOCHS"
+  if [ "$stalled" -eq 1 ] || [ "$rc" -ne 0 ]; then
+    sleep "$COOLDOWN"
+  else
+    sleep "$SETTLE"
+  fi
+done
+
+wall_total=$(grep -ah "^wall: " "$OUT"/segment_a*.log 2>/dev/null |
+             awk '{s += $2} END {printf "%.0f", s}')
+echo "[supervisor] sum of segment walls: ${wall_total:-?} s (excludes cooldowns)"
