@@ -143,6 +143,11 @@ def rounding_kernel_ok(
         _cached_rounding = True
         return _cached_rounding
 
+    mark = _marker_path("rounding", (dim, vocab_size, matmul_dtype))
+    if _marker_ok(mark):
+        _cached_rounding = True
+        return _cached_rounding
+
     repo = _repo_root()
     code = _ROUNDING_PROBE.format(
         repo=repo,
@@ -154,6 +159,8 @@ def rounding_kernel_ok(
     _cached_rounding = _run_probe(
         code, "PALLAS_ROUNDING_OK", timeout_s, verbose, "rounding"
     )
+    if _cached_rounding:
+        _marker_write(mark)
     return _cached_rounding
 
 
@@ -184,6 +191,11 @@ def attn_block_kernel_ok(
         _cached_block = True
         return _cached_block
 
+    mark = _marker_path("attn_block", (seq_len, n_heads, head_dim))
+    if _marker_ok(mark):
+        _cached_block = True
+        return _cached_block
+
     repo = _repo_root()
     code = _ATTN_BLOCK_PROBE.format(
         repo=repo,
@@ -195,7 +207,47 @@ def attn_block_kernel_ok(
     _cached_block = _run_probe(
         code, "PALLAS_ATTN_BLOCK_OK", timeout_s, verbose, "attn_block"
     )
+    if _cached_block:
+        _marker_write(mark)
     return _cached_block
+
+
+def _ops_tree_hash() -> str:
+    """Hash of every ops/*.py source — any kernel edit busts the on-disk
+    probe markers below (conservative: unrelated ops edits also bust)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    ops_dir = os.path.dirname(os.path.abspath(__file__))
+    for name in sorted(os.listdir(ops_dir)):
+        if name.endswith(".py"):
+            with open(os.path.join(ops_dir, name), "rb") as f:
+                h.update(name.encode())
+                h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _marker_path(tag: str, params: tuple) -> str:
+    """On-disk memo of a SUCCESSFUL probe. Each probe child is an extra
+    tunnel client dial, and dials can wedge (CLAUDE.md) — once a kernel
+    form+shape has proven itself on this tree, later runs skip the child
+    entirely. Lives in .jax_cache next to the XLA artifacts it implies."""
+    cache = os.path.join(_repo_root(), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    key = "-".join(str(p) for p in params)
+    return os.path.join(cache, f"guard_{tag}_{key}_{_ops_tree_hash()}.ok")
+
+
+def _marker_ok(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _marker_write(path: str) -> None:
+    try:
+        with open(path, "w") as f:
+            f.write("ok\n")
+    except OSError:
+        pass  # read-only cache dir: just lose the memo
 
 
 def _run_probe(code: str, marker: str, timeout_s: float, verbose: bool,
@@ -291,6 +343,11 @@ def attention_kernel_ok(
         _cached = True  # off-TPU the kernel is the XLA fallback anyway
         return _cached
 
+    mark = _marker_path("attention", (seq_len, n_heads, head_dim))
+    if _marker_ok(mark):
+        _cached = True
+        return _cached
+
     repo = _repo_root()
     code = _PROBE.format(
         repo=repo,
@@ -322,5 +379,7 @@ def attention_kernel_ok(
                 f"{timeout_s:.0f}s — falling back to XLA attention",
                 file=sys.stderr,
             )
+    if ok:
+        _marker_write(mark)
     _cached = ok
     return ok

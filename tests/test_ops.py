@@ -209,6 +209,64 @@ class TestPallasGuard:
         assert cfg2.use_fused_rounding_loss is True
 
 
+class TestGuardMarkers:
+    """On-disk probe memoization (pallas_guard._marker_*): a successful
+    probe writes a marker keyed by the ops-source hash, and later runs
+    skip the child-process dial entirely (each dial is a tunnel-wedge
+    opportunity — CLAUDE.md). Any ops/*.py edit changes the hash."""
+
+    def _fake_tpu(self, monkeypatch):
+        import jax
+
+        class _D:
+            platform = "tpu"
+
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: [_D()])
+
+    def test_marker_short_circuits_probe(self, monkeypatch, tmp_path):
+        from diffusion_image_captioning_tpu.ops import pallas_guard as pg
+
+        monkeypatch.setattr(pg, "_repo_root", lambda: str(tmp_path))
+        monkeypatch.setattr(pg, "_cached_rounding", None)
+        monkeypatch.delenv("DIC_ROUNDING_BACKEND", raising=False)
+        self._fake_tpu(monkeypatch)
+
+        def _boom(*a, **k):
+            raise AssertionError("probe child must not launch")
+
+        monkeypatch.setattr(pg.subprocess, "run", _boom)
+        mark = pg._marker_path("rounding", (8, 16, "bfloat16"))
+        pg._marker_write(mark)
+        assert pg.rounding_kernel_ok(
+            dim=8, vocab_size=16, matmul_dtype="bfloat16"
+        ) is True
+
+    def test_failed_probe_writes_no_marker(self, monkeypatch, tmp_path):
+        import subprocess as sp
+
+        from diffusion_image_captioning_tpu.ops import pallas_guard as pg
+
+        monkeypatch.setattr(pg, "_repo_root", lambda: str(tmp_path))
+        monkeypatch.setattr(pg, "_cached_rounding", None)
+        monkeypatch.delenv("DIC_ROUNDING_BACKEND", raising=False)
+        self._fake_tpu(monkeypatch)
+        fail = sp.CompletedProcess(args=[], returncode=1, stdout="", stderr="x")
+        monkeypatch.setattr(pg.subprocess, "run", lambda *a, **k: fail)
+        mark = pg._marker_path("rounding", (8, 16, "bfloat16"))
+        assert pg.rounding_kernel_ok(
+            dim=8, vocab_size=16, matmul_dtype="bfloat16", verbose=False
+        ) is False
+        assert not pg._marker_ok(mark)
+
+    def test_ops_hash_busts_marker_path(self, monkeypatch):
+        from diffusion_image_captioning_tpu.ops import pallas_guard as pg
+
+        p1 = pg._marker_path("t", (1,))
+        monkeypatch.setattr(pg, "_ops_tree_hash", lambda: "deadbeef00000000")
+        p2 = pg._marker_path("t", (1,))
+        assert p1 != p2
+
+
 class TestFfnBlock:
     """ops/ffn_block.py: fused FFN+LN vs the XLA oracle (interpret mode)."""
 
