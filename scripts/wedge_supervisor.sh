@@ -39,6 +39,10 @@ completed() {
 
 attempt=0
 while :; do
+  if [ -f "$OUT/STOP" ]; then
+    echo "[supervisor] STOP sentinel found — exiting cleanly at $(completed)/$EPOCHS"
+    break
+  fi
   done_n=$(completed)
   if [ "$done_n" -ge "$EPOCHS" ]; then
     echo "[supervisor] complete: $done_n/$EPOCHS epochs"
@@ -57,6 +61,7 @@ while :; do
     python scripts/run_correlated_world.py \
     --epochs 1 --segments 1 $resume $EXTRA --out "$OUT" >"$seglog" 2>&1 &
   pid=$!
+  echo "$pid" > "$OUT/segment.pid"   # PID-targeted kill only — never pkill -f
   stalled=0
   while kill -0 "$pid" 2>/dev/null; do
     sleep 30
