@@ -427,6 +427,17 @@ def _fit_epochs(
     import time as _time
 
     phase_times = bool(os.environ.get("DIC_PHASE_TIMES"))
+    # In-epoch drain cadence. Two jobs: (1) watchdog truthfulness — async
+    # dispatch lets the host run the whole epoch's dispatch loop minutes
+    # ahead of the device, after which dispatch pokes stop and the 425-s
+    # watchdog false-positives on any epoch whose DEVICE time exceeds the
+    # timeout (2026-08-19: nine healthy combined-scale runs were shot by
+    # their supervisor this way); each drain pokes at device progress
+    # instead. (2) Bounded run-ahead — tens of thousands of queued step
+    # dispatches sit in host/tunnel buffers otherwise. Off by default
+    # (bench measures raw enqueue+drain); wedge_supervisor.sh sets 500/0.5.
+    drain_every = int(os.environ.get("DIC_DRAIN_EVERY_STEPS", "0"))
+    drain_sleep = float(os.environ.get("DIC_DRAIN_SLEEP_S", "0"))
     early_stopped = False
     _NAMES = ("x_t_loss", "x_1_loss", "prob_loss", "total")
     for epoch in range(cfg.epoch_num):
@@ -450,11 +461,14 @@ def _fit_epochs(
             with mesh_ctx():
                 state, metrics = train_step(state, prep(batch), base_key, lam)
             timer.tick()
-            # Per-dispatch poke: while the device makes progress, dispatch
-            # keeps flowing (backpressure unblocks), so pokes continue and a
-            # legitimately-long epoch (>timeout of stepping) cannot
-            # false-positive. A real wedge blocks the host — at dispatch
-            # backpressure or at the epoch-end drain — and pokes stop.
+            # Per-dispatch poke. CAUTION: dispatch is async and the host can
+            # run MINUTES ahead of the device (measured 2026-08-19: ~20k
+            # combined-scale steps dispatched in ~4 min while the device
+            # needed 16.6 min) — so dispatch pokes alone false-positive the
+            # watchdog once the loop finishes dispatching and the host sits
+            # in the epoch-end drain. DIC_DRAIN_EVERY_STEPS (below) is the
+            # fix: each drain pokes at DEVICE progress. Keep it enabled for
+            # any epoch whose device time exceeds the watchdog timeout.
             watchdog.poke()
             acc_dev = acc_dev + jnp.stack([metrics[n] for n in _NAMES])
             n_train += 1
@@ -470,6 +484,11 @@ def _fit_epochs(
                 )
             if progress_fn is not None:
                 progress_fn(epoch, n_train, metrics)
+            if drain_every and n_train % drain_every == 0:
+                jax.block_until_ready(acc_dev)
+                watchdog.poke()  # the drain itself is a blocking point
+                if drain_sleep:
+                    _time.sleep(drain_sleep)
             if debug:
                 break
         # Drain the async dispatch queue into the step-time total (the

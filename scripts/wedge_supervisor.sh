@@ -24,6 +24,11 @@ OUT=${OUT:-runs_combined}
 COOLDOWN=${COOLDOWN:-300}        # after a kill: let the tunnel recover
 SETTLE=${SETTLE:-60}             # after a clean exit: gentle redial gap
 STALL_S=${STALL_S:-420}          # watchdog fires after this many silent s
+DRAIN_STEPS=${DRAIN_STEPS:-500}  # in-epoch breather cadence (train.py
+DRAIN_SLEEP=${DRAIN_SLEEP:-0.5}  # DIC_DRAIN_*): long continuously-stepping
+                                 # epochs wedge the tunnel (9/9 on
+                                 # 2026-08-19); periodic drains bound the
+                                 # async queue and give it quiet points
 SEG_CAP_S=${SEG_CAP_S:-3000}     # hard per-segment cap: the watchdog covers
                                  # only the train/val loops; a wedge in data
                                  # load / BLEU / demos is caught by this
@@ -57,7 +62,9 @@ while :; do
   if ls -d "$OUT"/epoch1_*.ckpt >/dev/null 2>&1; then resume="--resume"; fi
   seglog="$OUT/segment_a${attempt}.log"
   echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${resume:-fresh} -> $seglog"
-  DIC_STALL_TIMEOUT_S=$STALL_S setsid timeout "$SEG_CAP_S" \
+  DIC_STALL_TIMEOUT_S=$STALL_S \
+  DIC_DRAIN_EVERY_STEPS=$DRAIN_STEPS DIC_DRAIN_SLEEP_S=$DRAIN_SLEEP \
+  setsid timeout "$SEG_CAP_S" \
     python scripts/run_correlated_world.py \
     --epochs 1 --segments 1 $resume $EXTRA --out "$OUT" >"$seglog" 2>&1 &
   pid=$!
