@@ -190,6 +190,43 @@ class TestFit:
         assert len(hist) == 1
         assert calls == [(0, 1)]
 
+    def test_drain_cadence_pokes_and_preserves_math(self, setup, monkeypatch):
+        """DIC_DRAIN_EVERY_STEPS=K blocks on device progress every K train
+        steps and pokes the watchdog at each drain (the async-dispatch
+        watchdog false-positive fix: dispatch pokes alone stop minutes
+        before the device finishes a long epoch — see _fit_epochs). The
+        drain is observability-only: the training history must be bitwise
+        identical with it on or off."""
+        from diffusion_image_captioning_tpu.utils import profiling
+
+        model, params, tx, _ = setup
+        batches = [_batch(seed=s) for s in range(4)]
+
+        pokes = {"n": 0}
+        orig_poke = profiling.StallWatchdog.poke
+
+        def counting_poke(self):
+            pokes["n"] += 1
+            return orig_poke(self)
+
+        monkeypatch.setattr(profiling.StallWatchdog, "poke", counting_poke)
+
+        def run():
+            pokes["n"] = 0
+            state = fresh_state(params, tx)
+            _, hist = tr.fit(model, TINY, state, batches, batches[:1])
+            return hist, pokes["n"]
+
+        monkeypatch.delenv("DIC_DRAIN_EVERY_STEPS", raising=False)
+        hist_off, pokes_off = run()
+        monkeypatch.setenv("DIC_DRAIN_EVERY_STEPS", "2")
+        hist_on, pokes_on = run()
+
+        # one extra poke per drain point: floor(4 steps / 2) per epoch
+        assert pokes_on == pokes_off + 2 * TINY.epoch_num
+        for off, on in zip(hist_off, hist_on):
+            assert off == on  # bitwise-equal loss scalars
+
 
 class TestAdamWTorchParity:
     """The reference's optimizer IS torch.optim.AdamW at defaults
