@@ -235,6 +235,21 @@ def main() -> None:
             "steady_state_steps_per_sec": 20.3,
             "artifact": "runs/flagship_synthetic_8kscale_15ep_reference_protocol.txt",
         }
+        # The reference's SECOND published protocol (README.md:15: 10 epochs
+        # of Flickr30k+8k combined, 11 h on one A30) at identical shape —
+        # 199,370 captions, 0.8 split, 19,937 steps/epoch at batch 8 —
+        # measured per-epoch on one v5e 2026-08-19 (runs_combined/,
+        # docs/PERF.md). Static record: epoch wall is measured, the
+        # 10-epoch figure is epoch_wall x 10.
+        extras["combined_protocol_10ep_wall"] = {
+            "epoch_wall_s": 1586,
+            "steps_per_epoch": 19937,
+            "in_epoch_steps_per_sec": 19.912,
+            "wall_10ep_s_extrapolated": 15860,
+            "a30_wall_s": 39600,
+            "vs_a30_end_to_end": 2.50,
+            "artifact": "runs_combined/README.md",
+        }
 
     print(
         json.dumps(
