@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Summarize the combined-protocol artifacts in runs_combined/.
+
+Parses the reference-byte-format run log plus every completed segment log
+(current supervisor generation and the archived gen*_logs/) and prints the
+per-epoch table the docs quote: epoch wall, in-epoch train steps/s, epoch
+average losses, and the K-draw BLEU series. Pure stdlib — safe to run next
+to a stepping TPU job (no jax import, no tunnel dial).
+
+Protocol being summarized: the reference's Flickr30k+8k combined datum —
+10 epochs, batch 8, 11 h on one A30 (/root/reference/README.md:15).
+
+Usage: python scripts/combined_summary.py [--out runs_combined]
+"""
+import argparse
+import glob
+import os
+import re
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs_combined")
+    ap.add_argument("--a30_wall_s", type=float, default=11 * 3600.0)
+    args = ap.parse_args()
+
+    # One "wall: N s" line per segment that ran to completion; killed or
+    # stalled segments never reach the print. Order on disk is not epoch
+    # order across supervisor generations, so sort chronologically by mtime.
+    seg_logs = sorted(
+        glob.glob(os.path.join(args.out, "segment_*.log"))
+        + glob.glob(os.path.join(args.out, "gen*_logs", "segment_*.log")),
+        key=os.path.getmtime,
+    )
+    walls = []
+    for path in seg_logs:
+        with open(path, "rb") as f:
+            data = f.read().decode("utf-8", "replace")
+        m = re.search(r"^wall: (\d+(?:\.\d+)?) s", data, re.M)
+        if m:
+            walls.append((os.path.relpath(path, args.out), float(m.group(1))))
+
+    (run_log,) = glob.glob(os.path.join(args.out, "epoch1_*.txt"))
+    with open(run_log, "rb") as f:
+        text = f.read().decode("utf-8", "replace")
+    rates = [float(x) for x in re.findall(r"^train steps/s: ([\d.]+)", text, re.M)]
+    # each 1-epoch continue_train segment logs its line as "epoch 0 average"
+    avgs = re.findall(r"^epoch \d+ average [^:]*: (.*)$", text, re.M)
+    bleus = [float(x) for x in re.findall(r"^BLEU-4 score: ([\d.]+)", text, re.M)]
+    draws = re.findall(r"^BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", text, re.M)
+
+    n = len(bleus)
+    print(f"completed epochs: {n}")
+    print("epoch  wall_s  steps/s   BLEU-4            epoch-average line")
+    for i in range(n):
+        wall = f"{walls[i][1]:.0f}" if i < len(walls) else "?"
+        rate = f"{rates[i]:.3f}" if i < len(rates) else "?"
+        dr = ""
+        # draws lines exist only for epochs run with --bleu_draws > 1; they
+        # appear in the same order as their BLEU-4 score lines, counted from
+        # the end (early epochs predate the K-draw flag).
+        k = i - (n - len(draws))
+        if 0 <= k < len(draws):
+            dr = f" (K-draw mean {draws[k][0]} sd {draws[k][1]})"
+        if i < len(avgs):
+            tr = [f"{float(x):.3f}" for x in avgs[i].split(", ")[:3]]
+            avg = "train x_t/x_1/prob = " + "/".join(tr)
+        else:
+            avg = "?"
+        print(f"{i + 1:>5}  {wall:>6}  {rate:>7}   {bleus[i]:.4f}{dr}  {avg}")
+
+    total = sum(w for _, w in walls[:n])
+    print(f"\nsum of completed-segment walls: {total:.0f} s = {total / 3600:.2f} h")
+    if n:
+        print(f"mean epoch wall: {total / n:.0f} s; projected 10-epoch: {total / n * 10 / 3600:.2f} h")
+    print(f"vs A30 11 h end-to-end ({args.a30_wall_s:.0f} s): {args.a30_wall_s / total:.2f}x" if total else "")
+
+
+if __name__ == "__main__":
+    main()
