@@ -238,16 +238,25 @@ def main() -> None:
         # The reference's SECOND published protocol (README.md:15: 10 epochs
         # of Flickr30k+8k combined, 11 h on one A30) at identical shape —
         # 199,370 captions, 0.8 split, 19,937 steps/epoch at batch 8 —
-        # measured per-epoch on one v5e 2026-08-19 (runs_combined/,
-        # docs/PERF.md). Static record: epoch wall is measured, the
-        # 10-epoch figure is epoch_wall x 10.
+        # driven to completion on one v5e 2026-08-19 as 1-epoch
+        # continue_train segments (runs_combined/, docs/PERF.md). Static
+        # record of the measured per-epoch walls; refresh epoch_walls_s /
+        # epochs_completed from `python scripts/combined_summary.py` as
+        # epochs land.
+        _combined_walls = [1586, 1869, 1943, 2003, 2052, 1941]
         extras["combined_protocol_10ep_wall"] = {
-            "epoch_wall_s": 1586,
+            "epochs_completed": len(_combined_walls),
+            "epoch_walls_s": _combined_walls,
+            "wall_s_measured_sum": sum(_combined_walls),
             "steps_per_epoch": 19937,
             "in_epoch_steps_per_sec": 19.912,
-            "wall_10ep_s_extrapolated": 15860,
+            "wall_10ep_s": round(
+                sum(_combined_walls) * 10.0 / len(_combined_walls)
+            ),
             "a30_wall_s": 39600,
-            "vs_a30_end_to_end": 2.50,
+            "vs_a30_end_to_end": round(
+                39600 * len(_combined_walls) / (10.0 * sum(_combined_walls)), 2
+            ),
             "artifact": "runs_combined/README.md",
         }
 
