@@ -73,7 +73,15 @@ def main() -> None:
     print(f"\nsum of completed-segment walls: {total:.0f} s = {total / 3600:.2f} h")
     if n:
         print(f"mean epoch wall: {total / n:.0f} s; projected 10-epoch: {total / n * 10 / 3600:.2f} h")
-    print(f"vs A30 11 h end-to-end ({args.a30_wall_s:.0f} s): {args.a30_wall_s / total:.2f}x" if total else "")
+    if n and total:
+        # epoch-count-matched ratio: A30 wall for the SAME number of epochs
+        # (11 h / 10 epochs) against our measured walls for those epochs.
+        a30_same = args.a30_wall_s * n / 10.0
+        print(
+            f"vs A30 end-to-end at {n} epochs "
+            f"({a30_same:.0f} s of its {args.a30_wall_s:.0f} s): "
+            f"{a30_same / total:.2f}x"
+        )
 
 
 if __name__ == "__main__":

@@ -215,3 +215,55 @@ def test_plot_trials_cli(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert out.exists() and out.stat().st_size > 10_000
     assert "warning: no epoch lines" not in proc.stdout
+
+
+def test_combined_summary_cli(tmp_path):
+    """combined_summary.py parses a synthetic runs_combined layout: run-log
+    epoch lines (reference byte format per train.py:524-527), per-segment
+    wall lines across supervisor generations in mtime order, K-draw BLEU
+    lines counted from the end, and the epoch-count-matched A30 ratio."""
+    run_log = tmp_path / "epoch1_tiny_run.txt"
+    run_log.write_text(
+        "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
+        "7.1, 6.2, 4.0, 6.0, 5.4, 2.2\n"
+        "train steps/s: 19.912\n"
+        "some demo line\n"
+        "BLEU-4 score: 0.2686055621426921\n"
+        "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
+        "6.0, 5.4, 2.0, 5.8, 5.2, 1.8\n"
+        "train steps/s: 19.907\n"
+        "BLEU-4 draws (n=3): mean 0.201169 sd 0.000500 "
+        "values [0.2015, 0.2008, 0.2012]\n"
+        "BLEU-4 score: 0.20116914132329689\n"
+    )
+    gen1 = tmp_path / "gen1_logs"
+    gen1.mkdir()
+    old_seg = gen1 / "segment_a1.log"
+    old_seg.write_text("segment 1/1 done (1000 s)\nwall: 1000 s; log: x\n")
+    killed = tmp_path / "segment_a1.log"  # stalled segment: no wall line
+    killed.write_text("WARNING: something\n")
+    new_seg = tmp_path / "segment_a2.log"
+    new_seg.write_text("segment 1/1 done (2000 s)\nwall: 2000 s; log: x\n")
+    # chronological order: gen1 segment first, then the current generation
+    os.utime(old_seg, (1_000_000, 1_000_000))
+    os.utime(killed, (1_000_100, 1_000_100))
+    os.utime(new_seg, (1_000_200, 1_000_200))
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "combined_summary.py"),
+         "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "completed epochs: 2" in out
+    lines = out.splitlines()
+    row1 = next(l for l in lines if l.strip().startswith("1 "))
+    row2 = next(l for l in lines if l.strip().startswith("2 "))
+    assert "1000" in row1 and "19.912" in row1 and "0.2686" in row1
+    assert "2000" in row2 and "0.2012" in row2
+    assert "K-draw mean 0.201169 sd 0.000500" in row2
+    assert "K-draw" not in row1  # single-draw epoch predates the flag
+    assert "sum of completed-segment walls: 3000 s" in out
+    # epoch-count-matched ratio: 39600 * 2/10 / 3000 = 2.64x
+    assert "2.64x" in out
