@@ -31,6 +31,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A30_STEPS_PER_SEC = 4045 * 15 / (5 * 3600)  # ~3.37 (README.md:15)
 
 
+def _combined_epoch_walls(out_dir: str):
+    """Epoch-ordered [(segment_log, wall_s), ...] parsed from the artifact.
+
+    Reuses scripts/combined_summary.py (pure stdlib) so the benched walls
+    always match `python scripts/combined_summary.py` over the same tree.
+    """
+    try:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_combined_summary",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts",
+                "combined_summary.py",
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.collect_epoch_walls(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), out_dir)
+        )
+    except Exception:
+        return []
+
+
 def _parse_mesh_arg() -> dict | None:
     """--mesh data=8[,model=2] -> {"data": 8, "model": 2} (None if absent)."""
     if "--mesh" not in sys.argv:
@@ -238,27 +264,28 @@ def main() -> None:
         # The reference's SECOND published protocol (README.md:15: 10 epochs
         # of Flickr30k+8k combined, 11 h on one A30) at identical shape —
         # 199,370 captions, 0.8 split, 19,937 steps/epoch at batch 8 —
-        # driven to completion on one v5e 2026-08-19 as 1-epoch
-        # continue_train segments (runs_combined/, docs/PERF.md). Static
-        # record of the measured per-epoch walls; refresh epoch_walls_s /
-        # epochs_completed from `python scripts/combined_summary.py` as
-        # epochs land.
-        _combined_walls = [1586, 1869, 1943, 2003, 2052, 1941]
-        extras["combined_protocol_10ep_wall"] = {
-            "epochs_completed": len(_combined_walls),
-            "epoch_walls_s": _combined_walls,
-            "wall_s_measured_sum": sum(_combined_walls),
-            "steps_per_epoch": 19937,
-            "in_epoch_steps_per_sec": 19.912,
-            "wall_10ep_s": round(
-                sum(_combined_walls) * 10.0 / len(_combined_walls)
-            ),
-            "a30_wall_s": 39600,
-            "vs_a30_end_to_end": round(
-                39600 * len(_combined_walls) / (10.0 * sum(_combined_walls)), 2
-            ),
-            "artifact": "runs_combined/README.md",
-        }
+        # driven to completion (10/10) on one v5e 2026-08-19 as 1-epoch
+        # continue_train segments (runs_combined/, docs/PERF.md). Per-epoch
+        # walls are parsed from the committed segment logs at bench time
+        # (scripts/combined_summary.py), so this record cannot drift from
+        # the artifact it cites.
+        _combined_walls = [w for _, w in _combined_epoch_walls("runs_combined")]
+        if _combined_walls:
+            extras["combined_protocol_10ep_wall"] = {
+                "epochs_completed": len(_combined_walls),
+                "epoch_walls_s": [round(w) for w in _combined_walls],
+                "wall_s_measured_sum": round(sum(_combined_walls)),
+                "steps_per_epoch": 19937,
+                "in_epoch_steps_per_sec": 19.912,
+                "wall_10ep_s": round(
+                    sum(_combined_walls) * 10.0 / len(_combined_walls)
+                ),
+                "a30_wall_s": 39600,
+                "vs_a30_end_to_end": round(
+                    39600 * len(_combined_walls) / (10.0 * sum(_combined_walls)), 2
+                ),
+                "artifact": "runs_combined/README.md",
+            }
 
     print(
         json.dumps(

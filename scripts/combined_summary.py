@@ -18,6 +18,47 @@ import os
 import re
 
 
+def segment_sort_key(path: str, out_dir: str):
+    """Deterministic epoch-order key for a segment log path.
+
+    (generation, prefix, attempt): archived gen2_logs/ sorts before
+    gen3_logs/ sorts before the live run dir; within a generation the
+    manual bootstrap segment (segment_m1) ran before the supervisor's
+    attempt chain (segment_a1, a2, ...).
+    """
+    rel = os.path.relpath(path, out_dir)
+    parts = rel.split(os.sep)
+    gen = 10**9  # live run dir = the latest generation
+    if len(parts) > 1:
+        g = re.match(r"gen(\d+)_logs$", parts[0])
+        if g:
+            gen = int(g.group(1))
+    m = re.match(r"segment_([a-z]+)(\d+)\.log$", parts[-1])
+    prefix, attempt = (m.group(1), int(m.group(2))) if m else ("z", 0)
+    return (gen, 0 if prefix == "m" else 1, attempt, rel)
+
+
+def collect_epoch_walls(out_dir: str):
+    """Return [(relpath, wall_s), ...] for completed segments in epoch order.
+
+    Shared with bench.py so the benched per-epoch walls can never drift
+    from the committed artifact.
+    """
+    seg_logs = sorted(
+        glob.glob(os.path.join(out_dir, "segment_*.log"))
+        + glob.glob(os.path.join(out_dir, "gen*_logs", "segment_*.log")),
+        key=lambda p: segment_sort_key(p, out_dir),
+    )
+    walls = []
+    for path in seg_logs:
+        with open(path, "rb") as f:
+            data = f.read().decode("utf-8", "replace")
+        m = re.search(r"^wall: (\d+(?:\.\d+)?) s", data, re.M)
+        if m:
+            walls.append((os.path.relpath(path, out_dir), float(m.group(1))))
+    return walls
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs_combined")
@@ -26,19 +67,12 @@ def main() -> None:
 
     # One "wall: N s" line per segment that ran to completion; killed or
     # stalled segments never reach the print. Order on disk is not epoch
-    # order across supervisor generations, so sort chronologically by mtime.
-    seg_logs = sorted(
-        glob.glob(os.path.join(args.out, "segment_*.log"))
-        + glob.glob(os.path.join(args.out, "gen*_logs", "segment_*.log")),
-        key=os.path.getmtime,
-    )
-    walls = []
-    for path in seg_logs:
-        with open(path, "rb") as f:
-            data = f.read().decode("utf-8", "replace")
-        m = re.search(r"^wall: (\d+(?:\.\d+)?) s", data, re.M)
-        if m:
-            walls.append((os.path.relpath(path, args.out), float(m.group(1))))
+    # order across supervisor generations, so sort by a deterministic key
+    # parsed from the path (NOT mtime — a fresh checkout resets mtimes):
+    # generation dir rank (gen2_logs < gen3_logs < current run dir), then
+    # the one-off manual "m" prefix before supervisor "a" attempts, then
+    # attempt number.
+    walls = collect_epoch_walls(args.out)
 
     (run_log,) = glob.glob(os.path.join(args.out, "epoch1_*.txt"))
     with open(run_log, "rb") as f:
