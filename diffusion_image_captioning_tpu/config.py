@@ -115,6 +115,14 @@ class Config:
     # --- sampling / eval (CLIP-DDPM.py:592,616; COCO_BLEU.py:252) ---
     refine_steps_eval: int = 5        # model applications per caption at BLEU eval
     refine_steps_demo: int = 10       # demo refinement depth
+    bleu_sample_group: int = 1        # TPU extension: fuse G consecutive val
+    # batches into ONE device sampling call at BLEU eval (pipeline.run_val_bleu).
+    # The per-batch key stream, noise draws, decode and per-batch corpus-BLEU
+    # accumulation are preserved exactly — rows never interact inside the
+    # sampler — so scores are bit-identical to the reference-shape G=1 loop
+    # (tests/test_eval_group.py) while cutting device round-trips and
+    # occupancy ~Gx on the largest eval leg (the reference loops batch 8,
+    # CLIP-DDPM.py:604-631). 1 = reference-shape loop.
     bleu_draws: int = 1               # TPU extension: from-noise BLEU eval is a
     # stochastic draw (the reference scores ONE noise init, CLIP-DDPM.py:613)
     # with measured ±0.04-0.07 spread at convergence (runs/README.md). >1 runs
@@ -155,6 +163,21 @@ class Config:
     # threefry default costs ~25% of a train step at this model's size
     # (measured on v5e); rbg is hardware-accelerated. Streams differ from
     # threefry but dropout only needs iid bits.
+
+    # --- TPU: schedule-correct segmented training (extension) ---
+    # The reference's CONTINUE_TRAIN restarts the LR schedule from epoch 0
+    # (CLIP-DDPM.py:505-508,520-522) — a 10-epoch run driven as 1-epoch
+    # segments therefore trains at CONSTANT learning_rate. These fields give
+    # a segment its GLOBAL protocol position instead: the LR array is built
+    # over schedule_total_epochs and the segment consumes entries
+    # [offset : offset+epoch_num]; the train-batch shuffle stream and the
+    # val-loss key chain are advanced to the same position, making a
+    # segmented run's loss trajectory match the monolithic anneal
+    # epoch-for-epoch (tests/test_schedule_offset.py). Neither field is in
+    # the run-name codec (segments must resume the same run name). Defaults
+    # (0, 0) keep reference CONTINUE_TRAIN semantics exactly.
+    schedule_offset_epochs: int = 0   # global epoch index this run starts at
+    schedule_total_epochs: int = 0    # protocol length; 0 = epoch_num
 
     # --- TPU: parallelism (new capability; SURVEY.md section 2.14) ---
     # mesh_data x mesh_model > 1 makes pipeline.run_flickr_training (and the

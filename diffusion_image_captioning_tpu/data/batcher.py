@@ -49,6 +49,18 @@ class Batcher:
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
 
+    def advance_epochs(self, k: int) -> None:
+        """Advance the shuffle stream past k epochs' permutations.
+
+        A schedule-correct continue_train segment (config.py
+        schedule_offset_epochs) must see the SAME epoch-k shuffle order a
+        monolithic run would — np.random.Generator.permutation consumes a
+        draw count that depends only on len(indices), so drawing and
+        discarding k permutations replays the stream exactly.
+        """
+        for _ in range(max(k, 0) if self.shuffle else 0):
+            self._rng.permutation(len(self.indices))
+
     def __len__(self) -> int:
         # Always drop-last — exact reference parity (BOTH its loaders pass
         # drop_last=True, CLIP-DDPM.py:220-221) and the static-shape

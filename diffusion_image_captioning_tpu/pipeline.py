@@ -247,30 +247,77 @@ def run_val_bleu(
     cfg.bleu_draws > 1 repeats the whole loop from independent noise draws
     and logs mean ± sd (the from-noise eval is stochastic with measured
     ±0.04-0.07 spread at convergence — VERDICT round-2 item 4); draw 0 uses
-    the exact key stream of the single-draw protocol."""
+    the exact key stream of the single-draw protocol.
+
+    cfg.bleu_sample_group > 1 fuses that many consecutive batches into one
+    device sampling call (sample.sample_caption_ids_grouped) — per-batch
+    keys, decode and scoring are preserved exactly, so scores match the
+    G=1 loop bit-for-bit while paying ~G× fewer device round-trips."""
+    import time as _time
+
     draws = max(cfg.bleu_draws, 1)
+    group = max(cfg.bleu_sample_group, 1)
+    phase_times = bool(os.environ.get("DIC_PHASE_TIMES"))
     scores, n = [], 0
+    t_sample = t_score = 0.0
+
+    def score_batch(batch, ids) -> float:
+        cands = [tokenizer.decode(row) for row in sample.dedup_consecutive(ids)]
+        refs = [gt_table[img] for img in batch["image"]]
+        return eval_bleu.flickr_batch_bleu(cands, refs)
+
     for d in range(draws):
         key = jax.random.PRNGKey(seed)
         if d:
             key = jax.random.fold_in(key, d)
         acc = 0.0
         n = 0
+        pend_b, pend_k = [], []
+
+        def flush():
+            nonlocal acc, n, t_sample, t_score
+            if not pend_b:
+                return
+            t0 = _time.monotonic()
+            if len(pend_b) == 1:
+                ids = sample.sample_caption_ids(
+                    model, cfg, params, jnp.asarray(pend_b[0]["image_clip"]),
+                    pend_k[0], steps=cfg.refine_steps_eval,
+                )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
+            else:
+                ids = sample.sample_caption_ids_grouped(
+                    model, cfg, params,
+                    [b["image_clip"] for b in pend_b], pend_k,
+                    steps=cfg.refine_steps_eval,
+                )
+            t1 = _time.monotonic()
+            B = len(pend_b[0]["image"])
+            for i, b in enumerate(pend_b):
+                acc += score_batch(b, ids[i * B : (i + 1) * B])
+                n += 1
+            t_sample += t1 - t0
+            t_score += _time.monotonic() - t1
+            pend_b.clear()
+            pend_k.clear()
+
         for batch in val_batcher:
             key, k = jax.random.split(key)
-            clip = jnp.asarray(batch["image_clip"])
-            ids = sample.sample_caption_ids(
-                model, cfg, params, clip, k, steps=cfg.refine_steps_eval
-            )  # argmax on device: ships [B, L] ids, not [B, L, V] logits
-            cands = [
-                tokenizer.decode(row) for row in sample.dedup_consecutive(ids)
-            ]
-            refs = [gt_table[img] for img in batch["image"]]
-            acc += eval_bleu.flickr_batch_bleu(cands, refs)
-            n += 1
+            if pend_b and len(batch["image"]) != len(pend_b[0]["image"]):
+                flush()  # ragged tail batch: never mix row counts in a group
+            pend_b.append(batch)
+            pend_k.append(k)
+            if len(pend_b) >= group:
+                flush()
             if cfg.debug:
                 break
+        flush()
         scores.append(acc / max(n, 1))
+    if phase_times and n:
+        print(
+            f"[phase] val BLEU: sample {t_sample:.1f}s score {t_score:.1f}s "
+            f"({draws} draw(s) x {n} batches, group {group})",
+            file=sys.stderr, flush=True,
+        )
     if n == 0:
         # drop-last batching: a val split smaller than batch_size yields
         # ZERO batches — a logged 0.0 would masquerade as a real score
@@ -310,7 +357,28 @@ def run_flickr_training(
     seed: int = 0,
 ):
     """The full CLIP-DDPM.py program. Returns (state, history, bleu)."""
+    import time as _time
+
     from diffusion_image_captioning_tpu.utils.profiling import mem_report
+
+    # DIC_PHASE_TIMES: per-phase wall-clock on stderr (data/init/fit/demos/
+    # bleu/save). fit() and run_val_bleu add their own inner splits under the
+    # same flag — together these are the eval-overhead budget docs/PERF.md
+    # quotes (the combined protocol spent ~50% of each epoch outside train
+    # steps before round 4's grouped-BLEU/segmenting fixes).
+    phase_times = bool(os.environ.get("DIC_PHASE_TIMES"))
+    _t0 = _time.monotonic()
+    _last = [_t0]
+
+    def _phase(label: str) -> None:
+        if phase_times:
+            now = _time.monotonic()
+            print(
+                f"[phase] pipeline {label}: {now - _last[0]:.1f}s "
+                f"(total {now - _t0:.1f}s)",
+                file=sys.stderr, flush=True,
+            )
+            _last[0] = now
 
     name = model_name(cfg)
     imgs, caps, img_feat, txt_feat = flickr_data.load_combined(
@@ -331,15 +399,29 @@ def run_flickr_training(
     # (mem_report() at CLIP-DDPM.py:223,447,563 plus import time); same
     # cadence here, printed to stdout like the reference.
     mem_report("data")
+    _phase("data")
     n = len(caps)
 
     if cfg.continue_train:
         val_idx = ck.load_val_indices(name, out_dir)
         train_idx = np.setdiff1d(np.arange(n), val_idx)
+        # Bit-exact segmented resume: setdiff1d returns the train rows
+        # SORTED, but the original run's train_idx was the seed permutation's
+        # prefix — and Batcher's shuffle permutes element *positions*, so a
+        # different base order yields different batches. When the saved val
+        # split is exactly this (n, ratio, seed)'s split, restore the
+        # original order so a schedule-correct segment replays the
+        # monolithic run's batch sequence (tests/test_schedule_offset.py).
+        t2, v2 = split_indices(n, cfg.train_set_ratio, seed)
+        if np.array_equal(v2, val_idx):
+            train_idx = t2
     else:
         train_idx, val_idx = split_indices(n, cfg.train_set_ratio, seed)
 
     train_b = Batcher(columns, train_idx, cfg.batch_size, shuffle=True, seed=seed)
+    # Schedule-correct segment: replay the shuffle stream to this segment's
+    # global epoch position (no-op at the reference-semantics default 0).
+    train_b.advance_epochs(cfg.schedule_offset_epochs)
     val_b = Batcher(columns, val_idx, cfg.batch_size, shuffle=False)
 
     model, params = init_denoiser(cfg, jax.random.PRNGKey(seed))
@@ -357,7 +439,15 @@ def run_flickr_training(
     tx = tr.make_optimizer(cfg)
     state = tr.init_train_state(cfg, params, tx)
     if cfg.continue_train:
-        state = ck.restore_params_only(name, out_dir, state)
+        if cfg.schedule_offset_epochs or cfg.schedule_total_epochs:
+            # Schedule-correct segment: resume the FULL training state
+            # (params + Adam moments + step counter) so the segment
+            # continues the monolithic run exactly — the reference's
+            # params-only CONTINUE_TRAIN (below) resets the optimizer and
+            # the step-keyed RNG stream along with the LR schedule.
+            state, _, _ = ck.restore(name, out_dir, template=state)
+        else:
+            state = ck.restore_params_only(name, out_dir, state)
 
     # Multi-chip training (SURVEY section 2.14; new capability): when the
     # config asks for a real mesh, initialize multi-host if applicable,
@@ -386,11 +476,19 @@ def run_flickr_training(
         )
         state = jax.device_put(state, mesh_lib.param_shardings(state, mesh))
     mem_report("model")
+    _phase("model init + restore")
 
     summary = Summary(cfg, out_dir)
 
     def checkpoint_fn(s, tag):
+        t0 = _time.monotonic()
         ck.save(s, cfg, name, out_dir, val_indices=val_idx)
+        if phase_times:
+            print(
+                f"[phase] checkpoint save ({tag}): "
+                f"{_time.monotonic() - t0:.1f}s",
+                file=sys.stderr, flush=True,
+            )
 
     if not loaded and cfg.freeze_embedding:
         summary.write("note: frozen embedding is RANDOM (no pretrained assets)\n")
@@ -400,14 +498,18 @@ def run_flickr_training(
         mesh=mesh,
     )
     mem_report("train")
+    _phase("fit (train+val epochs + ckpt)")
 
     params = tr.merge_params(state.trainable, state.frozen)
     write_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
+    _phase("demos")
     gt = flickr_data.captions_by_image(imgs, caps)
     bleu = run_val_bleu(summary, model, cfg, params, val_b, tokenizer, gt, seed)
     mem_report("eval")
+    _phase("val BLEU")
     ck.save_val_indices(name, out_dir, val_idx)
     summary.close()
+    _phase("final save")
     return state, history, bleu
 
 

@@ -291,6 +291,57 @@ def sample_caption_ids(
     return np.asarray(jnp.argmax(logits, axis=-1).astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "steps"))
+def _grouped_noise_argmax_ids(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    image_clip: jnp.ndarray,  # [G*B, clip_dim], G per-batch blocks in order
+    keys: jax.Array,          # [G] stacked per-batch keys
+    *,
+    steps: int,
+):
+    """One fused device call for G consecutive BLEU-eval batches.
+
+    Draws each batch's initial noise from ITS OWN key — exactly the draw
+    sample_captions makes for that batch — concatenates the blocks, runs one
+    G*B-row refinement, and argmaxes on device. Rows never interact inside
+    the sampler (attention is within-row), so the per-batch results are
+    bit-identical to G separate sample_caption_ids calls while paying one
+    dispatch and one kernel launch instead of G (the device round-trips of
+    the reference-shape batch-8 loop, CLIP-DDPM.py:604-631, dominated the
+    combined-protocol eval leg — docs/PERF.md)."""
+    G = keys.shape[0]
+    B = image_clip.shape[0] // G
+    noise = jax.vmap(
+        lambda k: jax.random.normal(
+            k, (B, cfg.max_length, cfg.in_channel), jnp.float32
+        )
+    )(keys)
+    x0 = noise.reshape(G * B, cfg.max_length, cfg.in_channel)
+    logits, _, _ = refine(model, cfg, params, x0, image_clip, steps=steps)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def sample_caption_ids_grouped(
+    model: CLIPDiffusionLM,
+    cfg: Config,
+    params,
+    image_clips: list,  # G per-batch [B, clip_dim] arrays (equal B)
+    keys: list,         # G per-batch keys, in the val loop's stream order
+    *,
+    steps: Optional[int] = None,
+) -> np.ndarray:
+    """Host wrapper over _grouped_noise_argmax_ids: returns [G*B, L] ids."""
+    steps = cfg.refine_steps_eval if steps is None else steps
+    clip = jnp.concatenate([jnp.asarray(c) for c in image_clips], axis=0)
+    return np.asarray(
+        _grouped_noise_argmax_ids(
+            model, cfg, params, clip, jnp.stack(keys), steps=steps
+        )
+    )
+
+
 def greedy_decode_ids(logits: np.ndarray) -> list[np.ndarray]:
     """argmax + consecutive-duplicate collapse, per row — the reference's
     softmax().argmax().unique_consecutive() (CLIP-DDPM.py:620-621; softmax

@@ -83,16 +83,33 @@ def learning_rates(cfg: Config) -> np.ndarray:
         CLIP-DDPM.py:63-67) and would IndexError past epoch 15; here the
         cycle repeats enough to cover epoch_num — identical values wherever
         the reference is defined, no mid-run crash beyond.
+
+    Schedule-correct segments (cfg.schedule_offset_epochs /
+    schedule_total_epochs, see config.py): the array is built over the
+    PROTOCOL length and this run's epoch_num-long window starting at the
+    offset is returned, so a continue_train segment resumes the anneal at
+    its global position instead of restarting it (the reference restart is
+    the (0, 0) default).
     """
     lr, end = cfg.learning_rate, cfg.end_learning_rate
-    n = cfg.epoch_num
+    n = max(cfg.schedule_total_epochs, cfg.epoch_num)
+    off = cfg.schedule_offset_epochs
+    if off + cfg.epoch_num > n:
+        raise ValueError(
+            f"schedule_offset_epochs={off} + epoch_num={cfg.epoch_num} "
+            f"exceeds schedule_total_epochs={n}"
+        )
     if cfg.scheduler == "linspace":
-        return np.linspace(lr, end, n)
-    if cfg.scheduler == "logspace":
-        return np.logspace(math.log10(lr), math.log10(end), n)
-    if cfg.scheduler == "cosine_annealing":
+        full = np.linspace(lr, end, n)
+    elif cfg.scheduler == "logspace":
+        full = np.logspace(math.log10(lr), math.log10(end), n)
+    elif cfg.scheduler == "cosine_annealing":
         sub = 5
         x = np.arange(sub, dtype=np.float64)
         one = end + (lr - end) * (1 + np.cos(x / sub * math.pi)) / 2
-        return np.tile(one, max(3, -(-n // sub)))
-    raise ValueError(cfg.scheduler)
+        full = np.tile(one, max(3, -(-n // sub)))
+    else:
+        raise ValueError(cfg.scheduler)
+    # Always window to this run's epochs (the cosine tile may run longer
+    # than n; fit() only ever indexes [0, epoch_num)).
+    return full[off : off + cfg.epoch_num]

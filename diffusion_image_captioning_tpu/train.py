@@ -317,6 +317,17 @@ def make_eval_step(
     return step
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+def _advance_key_chain(key: jax.Array, n: int) -> jax.Array:
+    """Replay n iterations of ``key, _ = jax.random.split(key)`` as one scan."""
+
+    def body(k, _):
+        return jax.random.split(k)[0], None
+
+    out, _ = jax.lax.scan(body, key, None, length=n)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Epoch driver
 # ---------------------------------------------------------------------------
@@ -374,6 +385,16 @@ def fit(
     lrs = schedules.learning_rates(cfg)
     key = jax.random.PRNGKey(seed)
     base_key = jax.random.fold_in(key, 0x5EED)  # per-step fold happens on device
+    if cfg.schedule_offset_epochs and hasattr(val_batches, "__len__"):
+        # Schedule-correct segment (config.py): the val-loss loop consumes
+        # len(val_batches) key splits per epoch, so a segment starting at
+        # global epoch `offset` must fast-forward the chain to where the
+        # monolithic run would be. One jitted scan — not offset*n_val
+        # dispatches. (The train-step stream needs no replay: its key is
+        # folded with state.step on device, and step is restored.)
+        key = _advance_key_chain(
+            key, cfg.schedule_offset_epochs * len(val_batches)
+        )
     lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
     dyn = cfg.dynamic_rounding_weight
     if not isinstance(train_batches, PrefetchingLoader):

@@ -47,6 +47,24 @@ def main() -> None:
                    help=">1 repeats the from-noise val BLEU eval from K "
                         "independent noise draws and logs mean±sd (single "
                         "draws spread ±0.04-0.07 at convergence)")
+    p.add_argument("--bleu_group", type=int, default=8,
+                   help="fuse this many consecutive val batches into one "
+                        "device sampling call at BLEU eval — bit-identical "
+                        "scores (per-batch keys/scoring preserved), ~Gx "
+                        "fewer device round-trips (Config.bleu_sample_group)")
+    p.add_argument("--global_schedule", action="store_true",
+                   help="schedule-correct segments: each continue_train "
+                        "segment resumes the LR anneal (and shuffle/key "
+                        "streams) at its GLOBAL epoch position over the full "
+                        "--epochs protocol, instead of the reference's "
+                        "restart-from-epoch-0 CONTINUE_TRAIN semantics")
+    p.add_argument("--schedule_offset", type=int, default=0,
+                   help="global epoch index this invocation starts at (for "
+                        "external segment drivers like wedge_supervisor.sh; "
+                        "combined with --global_schedule or --schedule_total)")
+    p.add_argument("--schedule_total", type=int, default=0,
+                   help="protocol length in epochs for the global schedule "
+                        "(defaults to --epochs when --global_schedule)")
     p.add_argument("--world_dir", default="/tmp/corrworld_ck")
     p.add_argument("--world30_dir", default="/tmp/corrworld30_ck")
     p.add_argument("--out", default=".")
@@ -93,6 +111,10 @@ def main() -> None:
         train_set_ratio=args.train_set_ratio,
         early_stop_ratio=1.02,
         bleu_draws=args.bleu_draws,
+        bleu_sample_group=args.bleu_group,
+    )
+    sched_total = args.schedule_total or (
+        args.epochs if args.global_schedule else 0
     )
     d = synthetic_correlated_flickr_dir(args.world_dir, n_images=args.images,
                                         seed=args.seed)
@@ -104,8 +126,15 @@ def main() -> None:
         )
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
+    per_seg = args.epochs // args.segments
     for seg in range(args.segments):
         c = dataclasses.replace(cfg, continue_train=args.resume or seg > 0)
+        if sched_total:
+            c = dataclasses.replace(
+                c,
+                schedule_offset_epochs=args.schedule_offset + seg * per_seg,
+                schedule_total_epochs=sched_total,
+            )
         pipeline.run_flickr_training(c, d, d30, out_dir=args.out)
         print(f"segment {seg + 1}/{args.segments} done "
               f"({time.time() - t0:.0f} s)", flush=True)

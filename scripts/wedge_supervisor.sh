@@ -33,6 +33,16 @@ SEG_CAP_S=${SEG_CAP_S:-3000}     # hard per-segment cap: the watchdog covers
                                  # only the train/val loops; a wedge in data
                                  # load / BLEU / demos is caught by this
 EXTRA=${EXTRA:---images 8091 --images30k 31783 --train_set_ratio 0.8 --bleu_draws 3}
+POLL=${POLL:-30}                 # seconds between child liveness/stall checks
+CHILD=${CHILD:-scripts/run_correlated_world.py}  # segment driver (a stub
+                                 # under test — tests/test_wedge_supervisor.py)
+GLOBAL_LR=${GLOBAL_LR:-}         # non-empty: schedule-correct segments — each
+                                 # 1-epoch segment resumes the LR anneal (and
+                                 # shuffle/key streams) at its global epoch
+                                 # position over the EPOCHS-long protocol
+                                 # instead of the reference CONTINUE_TRAIN
+                                 # restart (run_correlated_world
+                                 # --schedule_offset/--schedule_total)
 
 mkdir -p "$OUT"
 
@@ -60,18 +70,22 @@ while :; do
   fi
   resume=""
   if ls -d "$OUT"/epoch1_*.ckpt >/dev/null 2>&1; then resume="--resume"; fi
+  sched=""
+  if [ -n "$GLOBAL_LR" ]; then
+    sched="--schedule_offset $done_n --schedule_total $EPOCHS"
+  fi
   seglog="$OUT/segment_a${attempt}.log"
   echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${resume:-fresh} -> $seglog"
   DIC_STALL_TIMEOUT_S=$STALL_S \
   DIC_DRAIN_EVERY_STEPS=$DRAIN_STEPS DIC_DRAIN_SLEEP_S=$DRAIN_SLEEP \
   setsid timeout "$SEG_CAP_S" \
-    python scripts/run_correlated_world.py \
-    --epochs 1 --segments 1 $resume $EXTRA --out "$OUT" >"$seglog" 2>&1 &
+    python "$CHILD" \
+    --epochs 1 --segments 1 $resume $sched $EXTRA --out "$OUT" >"$seglog" 2>&1 &
   pid=$!
   echo "$pid" > "$OUT/segment.pid"   # PID-targeted kill only — never pkill -f
   stalled=0
   while kill -0 "$pid" 2>/dev/null; do
-    sleep 30
+    sleep "$POLL"
     if grep -aq "no progress" "$seglog"; then
       echo "[supervisor] watchdog stall in $seglog — killing pg $pid"
       kill -9 -- -"$pid" 2>/dev/null || kill -9 "$pid" 2>/dev/null
