@@ -235,6 +235,16 @@ def main() -> None:
             extras["dp8_projection"] = measure_dp8(cfg)
         except Exception as e:  # noqa: BLE001 — extras must never kill the line
             extras["dp8_projection"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            # Eval-leg rates (VERDICT round-3 next #1c): the combined
+            # protocol spent ~50% of each epoch OUTSIDE train steps, so the
+            # eval legs are benchmarked like the train step — val-loss
+            # batches/s and from-noise BLEU sampling batches/s at the
+            # reference loop shape (G=1) vs the grouped device call
+            # (Config.bleu_sample_group).
+            extras["eval_leg"] = bench_eval_leg(model, cfg, state)
+        except Exception as e:  # noqa: BLE001
+            extras["eval_leg"] = {"error": f"{type(e).__name__}: {e}"}
         # Archived end-to-end wall-clock at the reference's own headline
         # protocol (README.md:15: 15 epochs of Flickr8k in 5 h on one A30),
         # driven at identical scale/math on one v5e chip 2026-08-18 —
@@ -298,6 +308,77 @@ def main() -> None:
             }
         )
     )
+
+
+def bench_eval_leg(model, cfg, state):
+    """Device rates of the two eval legs that dominate epoch overhead.
+
+    * val-loss: one make_eval_step call per val batch (batch 8 -> 808 rows
+      through the denoiser, no grad) — the reference's validation loop
+      (CLIP-DDPM.py:488-501).
+    * BLEU sampling: refine-5 from noise + on-device argmax per batch 8 —
+      timed at the reference loop shape (one device call per batch, G=1)
+      and grouped 64-batches-per-call (bit-identical scores,
+      tests/test_eval_group.py). The ratio is the round-trip overhead the
+      grouped call removes from 4,984 batches/epoch at combined scale.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench import synthetic_batch
+    from diffusion_image_captioning_tpu import sample as sp
+    from diffusion_image_captioning_tpu import train as tr
+
+    out = {}
+    ev = tr.make_eval_step(model, cfg)
+    batch = synthetic_batch(cfg)
+    lam = jnp.asarray(cfg.rounding_weight, jnp.float32)
+    key = jax.random.PRNGKey(2)
+    m = None
+    for _ in range(2):
+        key, k = jax.random.split(key)
+        m = ev(state, batch, k, lam)
+    jax.block_until_ready(m["total"])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        key, k = jax.random.split(key)
+        m = ev(state, batch, k, lam)
+    jax.block_until_ready(m["total"])
+    out["val_loss_batches_per_sec"] = round(n / (time.perf_counter() - t0), 2)
+
+    params = tr.merge_params(state.trainable, state.frozen)
+    clip = np.random.default_rng(0).normal(
+        size=(cfg.batch_size, cfg.clip_dim)
+    ).astype(np.float32)
+
+    def rate_single(iters=20):
+        sp.sample_caption_ids(model, cfg, params, clip, jax.random.PRNGKey(0))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            sp.sample_caption_ids(
+                model, cfg, params, clip, jax.random.PRNGKey(i)
+            )
+        return iters / (time.perf_counter() - t0)
+
+    def rate_grouped(g, iters=3):
+        keys = list(jax.random.split(jax.random.PRNGKey(3), g))
+        clips = [clip] * g
+        sp.sample_caption_ids_grouped(model, cfg, params, clips, keys)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            sp.sample_caption_ids_grouped(model, cfg, params, clips, keys)
+        return g * iters / (time.perf_counter() - t0)
+
+    r1 = rate_single()
+    r64 = rate_grouped(64)
+    out["bleu_sample_batches_per_sec_g1"] = round(r1, 2)
+    out["bleu_sample_batches_per_sec_g64"] = round(r64, 2)
+    out["bleu_group_speedup"] = round(r64 / r1, 2)
+    return out
 
 
 def bench_samplers(model, cfg, params, batch_size: int = 64, iters: int = 20):

@@ -129,6 +129,16 @@ class Config:
     # the val BLEU loop K times from independent noise and logs mean ± sd; the
     # final byte-compatible "BLEU-4 score:" line then carries the mean.
     # Default 1 = reference-exact single draw.
+    eval_loss_group: int = 1          # TPU extension: fuse G consecutive val
+    # batches into ONE jitted device call in fit()'s per-epoch val-loss loop
+    # (the reference loops batch-8 eval steps, CLIP-DDPM.py:488-501 — 4,984
+    # dispatches/epoch at combined scale). The grouped call lax.scan's the
+    # SAME eval computation over the G batches with their original per-batch
+    # keys, carrying the accumulator in the same order, so the summed val
+    # metrics are bit-identical to the G=1 loop (tests/test_eval_group.py)
+    # while paying ~Gx fewer host dispatches through the remote tunnel.
+    # Ignored under a mesh (batches are sharded per-dispatch there).
+    # 1 = reference-shape loop.
 
     # --- TPU: numerics & kernels (extensions; defaults keep reference math) ---
     compute_dtype: str = "bfloat16"   # matmul/activation dtype; params stay fp32

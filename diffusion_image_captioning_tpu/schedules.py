@@ -110,6 +110,11 @@ def learning_rates(cfg: Config) -> np.ndarray:
         full = np.tile(one, max(3, -(-n // sub)))
     else:
         raise ValueError(cfg.scheduler)
-    # Always window to this run's epochs (the cosine tile may run longer
-    # than n; fit() only ever indexes [0, epoch_num)).
-    return full[off : off + cfg.epoch_num]
+    # Window to this run's epochs only when the segment fields are in play;
+    # otherwise return the full array — the reference helper's FIXED
+    # length-15 cosine tile (3 repeats regardless of EPOCH_NUM,
+    # CLIP-DDPM.py:63-67) is part of the parity contract, and fit() only
+    # ever indexes [0, epoch_num).
+    if off or cfg.schedule_total_epochs:
+        return full[off : off + cfg.epoch_num]
+    return full

@@ -317,6 +317,45 @@ def make_eval_step(
     return step
 
 
+def make_eval_group_step(
+    model: CLIPDiffusionLM, cfg: Config, abar: Optional[jnp.ndarray] = None
+) -> Callable:
+    """Grouped validation losses: one device call scanning the eval
+    computation over G stacked batches (Config.eval_loss_group).
+
+    The scan carries the [3] accumulator and adds each batch's
+    (x_t, x_1, prob) in dispatch order, so the result is bit-identical to
+    G sequential make_eval_step calls accumulated on device — only the
+    host-dispatch count changes (~Gx fewer remote-tunnel round trips on
+    the reference's per-epoch val loop, CLIP-DDPM.py:488-501)."""
+    abar = schedules.alpha_cumprod_table(cfg) if abar is None else abar
+
+    @jax.jit
+    def step(
+        state: TrainState,
+        batches: dict,   # each leaf stacked to [G, ...]
+        keys: jax.Array,  # [G, key]
+        lam: jnp.ndarray,
+        vacc: jnp.ndarray,  # [3] running (x_t, x_1, prob) sums
+    ):
+        params = merge_params(state.trainable, state.frozen)
+
+        def body(acc, bk):
+            batch, key = bk
+            m = compute_losses(
+                model, cfg, abar, params, batch, key, lam, deterministic=True
+            )
+            return (
+                acc + jnp.stack([m["x_t_loss"], m["x_1_loss"], m["prob_loss"]]),
+                None,
+            )
+
+        vacc, _ = jax.lax.scan(body, vacc, (batches, keys))
+        return vacc
+
+    return step
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def _advance_key_chain(key: jax.Array, n: int) -> jax.Array:
     """Replay n iterations of ``key, _ = jax.random.split(key)`` as one scan."""
@@ -374,6 +413,13 @@ def fit(
     tx = make_optimizer(cfg) if tx is None else tx
     train_step = make_train_step(model, cfg, tx)
     eval_step = make_eval_step(model, cfg)
+    # Grouped val-loss dispatch (bit-identical math; see make_eval_group_step).
+    # Mesh runs keep the per-dispatch loop: batches are sharded individually.
+    eval_group_step = (
+        make_eval_group_step(model, cfg)
+        if cfg.eval_loss_group > 1 and mesh is None
+        else None
+    )
     if mesh is not None:
         from diffusion_image_captioning_tpu.parallel import mesh as mesh_lib
 
@@ -423,6 +469,7 @@ def fit(
             model, cfg, state, train_batches, val_batches, train_step,
             eval_step, prep, mesh_ctx, lrs, key, base_key, lam, dyn, debug,
             summary, checkpoint_fn, progress_fn, timer, watchdog, history,
+            eval_group_step=eval_group_step,
         )
     finally:
         watchdog.stop()
@@ -441,6 +488,7 @@ def _fit_epochs(
     model, cfg, state, train_batches, val_batches, train_step, eval_step,
     prep, mesh_ctx, lrs, key, base_key, lam, dyn, debug, summary,
     checkpoint_fn, progress_fn, timer, watchdog, history,
+    eval_group_step=None,
 ):
     """The epoch loop body of fit() (split out so the watchdog wraps it)."""
     import os
@@ -529,15 +577,56 @@ def _fit_epochs(
         t_val = _time.monotonic()
         vacc_dev = jnp.zeros((3,), jnp.float32)
         n_val = 0
+        group = max(cfg.eval_loss_group, 1) if eval_group_step else 1
+        pend_b, pend_k = [], []
+
+        def _flush_val_group():
+            nonlocal vacc_dev, n_val
+            if not pend_b:
+                return
+            if len(pend_b) == group:
+                stacked = {
+                    k2: jnp.stack([b[k2] for b in pend_b])
+                    for k2 in pend_b[0]
+                }
+                vacc_dev = eval_group_step(
+                    state, stacked, jnp.stack(pend_k), lam, vacc_dev
+                )
+            else:
+                # Partial tail: reuse the per-batch step (already compiled)
+                # rather than paying a fresh compile for a one-off [G', ...]
+                # grouped shape.
+                for b, k in zip(pend_b, pend_k):
+                    m = eval_step(state, b, k, lam)
+                    vacc_dev = vacc_dev + jnp.stack(
+                        [m[n] for n in _NAMES[:3]]
+                    )
+            n_val += len(pend_b)
+            watchdog.poke()
+            pend_b.clear()
+            pend_k.clear()
+
         for batch in val_batches:
             key, k = jax.random.split(key)
-            with mesh_ctx():
-                m = eval_step(state, prep(batch), k, lam)
-            vacc_dev = vacc_dev + jnp.stack([m[n] for n in _NAMES[:3]])
-            watchdog.poke()
-            n_val += 1
+            if group > 1:
+                b = prep(batch)
+                if pend_b and any(
+                    pend_b[0][k2].shape != b[k2].shape for k2 in b
+                ):
+                    _flush_val_group()  # ragged batch: never stack mixed shapes
+                pend_b.append(b)
+                pend_k.append(k)
+                if len(pend_b) >= group:
+                    _flush_val_group()
+            else:
+                with mesh_ctx():
+                    m = eval_step(state, prep(batch), k, lam)
+                vacc_dev = vacc_dev + jnp.stack([m[n] for n in _NAMES[:3]])
+                watchdog.poke()
+                n_val += 1
             if debug:
                 break
+        _flush_val_group()
         vsums = np.asarray(vacc_dev)  # blocking fetch (ends the val phase)
         val_avg = {
             name: float(s) / max(n_val, 1)

@@ -52,6 +52,12 @@ def main() -> None:
                         "device sampling call at BLEU eval — bit-identical "
                         "scores (per-batch keys/scoring preserved), ~Gx "
                         "fewer device round-trips (Config.bleu_sample_group)")
+    p.add_argument("--eval_group", type=int, default=1,
+                   help="fuse this many consecutive val batches into one "
+                        "device call in the per-epoch val-loss loop — "
+                        "bit-identical summed metrics (lax.scan in dispatch "
+                        "order, per-batch keys), ~Gx fewer host dispatches "
+                        "(Config.eval_loss_group)")
     p.add_argument("--global_schedule", action="store_true",
                    help="schedule-correct segments: each continue_train "
                         "segment resumes the LR anneal (and shuffle/key "
@@ -112,6 +118,7 @@ def main() -> None:
         early_stop_ratio=1.02,
         bleu_draws=args.bleu_draws,
         bleu_sample_group=args.bleu_group,
+        eval_loss_group=args.eval_group,
     )
     sched_total = args.schedule_total or (
         args.epochs if args.global_schedule else 0

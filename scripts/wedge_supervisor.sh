@@ -21,6 +21,17 @@ cd "$(dirname "$0")/.."
 
 EPOCHS=${EPOCHS:-10}
 OUT=${OUT:-runs_combined}
+SEG_EPOCHS=${SEG_EPOCHS:-1}      # epochs per child segment: >1 amortizes the
+                                 # ~2-3 min fresh-process retrace over several
+                                 # epochs (round-3 VERDICT: the largest fixed
+                                 # per-epoch overhead) at the price of a
+                                 # bigger rollback on a kill — mid-segment
+                                 # epochs aren't checkpointed, so a killed
+                                 # N-epoch segment retries all N from the
+                                 # previous segment's checkpoint. EPOCHS must
+                                 # divide evenly. NOTE: epoch_num is in the
+                                 # run-name codec — all attempts of one
+                                 # protocol must use the same SEG_EPOCHS.
 COOLDOWN=${COOLDOWN:-300}        # after a kill: let the tunnel recover
 SETTLE=${SETTLE:-60}             # after a clean exit: gentle redial gap
 STALL_S=${STALL_S:-420}          # watchdog fires after this many silent s
@@ -29,9 +40,10 @@ DRAIN_SLEEP=${DRAIN_SLEEP:-0.5}  # DIC_DRAIN_*): long continuously-stepping
                                  # epochs wedge the tunnel (9/9 on
                                  # 2026-08-19); periodic drains bound the
                                  # async queue and give it quiet points
-SEG_CAP_S=${SEG_CAP_S:-3000}     # hard per-segment cap: the watchdog covers
-                                 # only the train/val loops; a wedge in data
-                                 # load / BLEU / demos is caught by this
+SEG_CAP_S=${SEG_CAP_S:-$((3000 * SEG_EPOCHS))}  # hard per-segment cap: the
+                                 # watchdog covers only the train/val loops; a
+                                 # wedge in data load / BLEU / demos is caught
+                                 # by this (default scales with SEG_EPOCHS)
 EXTRA=${EXTRA:---images 8091 --images30k 31783 --train_set_ratio 0.8 --bleu_draws 3}
 POLL=${POLL:-30}                 # seconds between child liveness/stall checks
 CHILD=${CHILD:-scripts/run_correlated_world.py}  # segment driver (a stub
@@ -46,10 +58,18 @@ GLOBAL_LR=${GLOBAL_LR:-}         # non-empty: schedule-correct segments — each
 
 mkdir -p "$OUT"
 
+if [ $((EPOCHS % SEG_EPOCHS)) -ne 0 ]; then
+  echo "[supervisor] EPOCHS=$EPOCHS must divide evenly by SEG_EPOCHS=$SEG_EPOCHS" >&2
+  exit 2
+fi
+
 completed() {
-  # one contractual "BLEU-4 score:" write per completed segment; -a because
-  # the log glues binary-ish bytes from demo decodes on some worlds
-  cat "$OUT"/epoch1_*.txt 2>/dev/null | grep -oa "BLEU-4 score:" | wc -l
+  # one contractual "BLEU-4 score:" write per completed SEG_EPOCHS-epoch
+  # segment (the run-name codec puts epoch_num first: epoch<SEG_EPOCHS>_*);
+  # -a because the log glues binary-ish bytes from demo decodes on some worlds
+  segs=$(cat "$OUT"/epoch"${SEG_EPOCHS}"_*.txt 2>/dev/null |
+         grep -oa "BLEU-4 score:" | wc -l)
+  echo $((segs * SEG_EPOCHS))
 }
 
 attempt=0
@@ -69,7 +89,7 @@ while :; do
     exit 1
   fi
   resume=""
-  if ls -d "$OUT"/epoch1_*.ckpt >/dev/null 2>&1; then resume="--resume"; fi
+  if ls -d "$OUT"/epoch"${SEG_EPOCHS}"_*.ckpt >/dev/null 2>&1; then resume="--resume"; fi
   sched=""
   if [ -n "$GLOBAL_LR" ]; then
     sched="--schedule_offset $done_n --schedule_total $EPOCHS"
@@ -80,7 +100,7 @@ while :; do
   DIC_DRAIN_EVERY_STEPS=$DRAIN_STEPS DIC_DRAIN_SLEEP_S=$DRAIN_SLEEP \
   setsid timeout "$SEG_CAP_S" \
     python "$CHILD" \
-    --epochs 1 --segments 1 $resume $sched $EXTRA --out "$OUT" >"$seglog" 2>&1 &
+    --epochs "$SEG_EPOCHS" --segments 1 $resume $sched $EXTRA --out "$OUT" >"$seglog" 2>&1 &
   pid=$!
   echo "$pid" > "$OUT/segment.pid"   # PID-targeted kill only — never pkill -f
   stalled=0

@@ -70,6 +70,33 @@ def test_grouped_bleu_multi_draw(eval_world):
     )
 
 
+def _fit_history(cfg, model, params, columns, eval_group):
+    """One tiny fit() with the given val-loss dispatch grouping."""
+    from diffusion_image_captioning_tpu import train as tr
+
+    n = len(columns["image"])
+    idx = np.arange(n)
+    train_b = Batcher(columns, idx[: n // 2], cfg.batch_size, shuffle=True, seed=0)
+    val_b = Batcher(columns, idx, cfg.batch_size, shuffle=False)
+    c = cfg.replace(epoch_num=2, eval_loss_group=eval_group)
+    tx = tr.make_optimizer(c)
+    state = tr.init_train_state(c, jax.tree.map(np.copy, params), tx)
+    _, hist = tr.fit(model, c, state, train_b, val_b, seed=0, tx=tx)
+    return hist
+
+
+def test_grouped_val_loss_bit_identical(eval_world):
+    """Config.eval_loss_group: the grouped lax.scan dispatch accumulates the
+    per-batch eval losses in the same order as the G=1 loop — the logged
+    epoch rows must match bit for bit (7 val batches, group 3 -> two full
+    groups + a 1-batch tail through the per-batch step)."""
+    cfg, model, params, columns, gt, tok = eval_world
+    base = _fit_history(cfg, model, params, columns, eval_group=1)
+    for g in (3, 16):  # 16 > n_batches: whole split is one partial tail
+        hist = _fit_history(cfg, model, params, columns, eval_group=g)
+        assert hist == base, f"group {g} diverged"
+
+
 def test_grouped_sampler_matches_per_batch(eval_world):
     cfg, model, params, columns, gt, tok = eval_world
     k1, k2 = jax.random.split(jax.random.PRNGKey(7))

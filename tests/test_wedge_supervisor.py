@@ -39,7 +39,11 @@ _STUB = textwrap.dedent(
         time.sleep(600)
     if action == "hang":
         time.sleep(600)  # exceeds SEG_CAP_S; killed by timeout(1)
-    log = os.path.join(out, "epoch1_stub.txt")
+    # like the real child: epoch_num (= --epochs per segment) leads the
+    # run-name codec, so SEG_EPOCHS=2 segments write epoch2_*.txt
+    ep = sys.argv[sys.argv.index("--epochs") + 1]
+    log = os.path.join(out, "epoch%s_stub.txt" % ep)
+    os.makedirs(os.path.join(out, "epoch%s_stub.ckpt" % ep), exist_ok=True)
     with open(log, "a") as f:
         f.write("BLEU-4 score: 0.1\\n")
     print("wall: 2 s; log:", log)
@@ -131,6 +135,33 @@ def test_resume_and_global_schedule_flags(tmp_path):
     assert "--resume" in argv[0]
     assert "--schedule_offset 1 --schedule_total 3" in argv[0]
     assert "--schedule_offset 2 --schedule_total 3" in argv[1]
+
+
+def test_multi_epoch_segments(tmp_path):
+    # SEG_EPOCHS=2: three 2-epoch segments cover 6 epochs; progress counts
+    # BLEU lines x SEG_EPOCHS from epoch2_*.txt; schedule offsets advance
+    # in GLOBAL epochs
+    proc, out = _run_supervisor(
+        tmp_path, ["ok"], epochs=6,
+        extra_env={"SEG_EPOCHS": "2", "GLOBAL_LR": "1"},
+    )
+    assert proc.returncode == 0
+    assert "complete: 6/6 epochs" in proc.stdout
+    assert (out / "calls.txt").read_text() == "3"
+    argv = (out / "argv.log").read_text().splitlines()
+    assert "--epochs 2" in argv[0]
+    assert "--schedule_offset 0 --schedule_total 6" in argv[0]
+    assert "--schedule_offset 2 --schedule_total 6" in argv[1]
+    assert "--schedule_offset 4 --schedule_total 6" in argv[2]
+    assert "--resume" in argv[1]  # epoch2_*.ckpt from segment 1
+
+
+def test_seg_epochs_must_divide_epochs(tmp_path):
+    proc, _ = _run_supervisor(
+        tmp_path, ["ok"], epochs=3, extra_env={"SEG_EPOCHS": "2"}
+    )
+    assert proc.returncode == 2
+    assert "must divide evenly" in proc.stderr
 
 
 def test_stop_sentinel_exits_cleanly(tmp_path):
