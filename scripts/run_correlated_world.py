@@ -71,6 +71,27 @@ def main() -> None:
     p.add_argument("--schedule_total", type=int, default=0,
                    help="protocol length in epochs for the global schedule "
                         "(defaults to --epochs when --global_schedule)")
+    # --- trial-grid knobs (reference ablation axes; BASELINE.md rows,
+    # /root/reference/trial_*/ logs). Defaults = the flagship/README-best
+    # config, which doubles as the grid's baseline arm. ---
+    p.add_argument("--fusion", default="concat", choices=["concat", "add"],
+                   help="CLIP-feature fusion (trial_add_concat/)")
+    p.add_argument("--x0_predict", type=int, default=1,
+                   help="1: predict x_0; 0: predict x_{t-100} "
+                        "(trial_x_01_prediction/)")
+    p.add_argument("--rounding_weight", type=float, default=0.3,
+                   help="lambda on the rounding loss "
+                        "(trial_rounding_weight/: 0.3 vs 0.5)")
+    p.add_argument("--scheduler", default="linspace",
+                   choices=["linspace", "logspace", "cosine_annealing"],
+                   help="LR schedule shape (trial_lr/)")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--end_lr", type=float, default=5e-5)
+    p.add_argument("--class_weight", type=float, default=0.0,
+                   help="classifier-free guidance w "
+                        "(trial_classification_free/: 1.0 / 0.3)")
+    p.add_argument("--class_prob", type=float, default=0.2,
+                   help="per-row text-cond dropout prob for CFG training")
     p.add_argument("--world_dir", default="/tmp/corrworld_ck")
     p.add_argument("--world30_dir", default="/tmp/corrworld30_ck")
     p.add_argument("--out", default=".")
@@ -113,12 +134,19 @@ def main() -> None:
         raise SystemExit("--epochs must divide evenly by --segments")
     cfg = Config(
         epoch_num=args.epochs // args.segments,
-        rounding_weight=0.3,
+        rounding_weight=args.rounding_weight,
         train_set_ratio=args.train_set_ratio,
         early_stop_ratio=1.02,
         bleu_draws=args.bleu_draws,
         bleu_sample_group=args.bleu_group,
         eval_loss_group=args.eval_group,
+        clip_adding_method=args.fusion,
+        x_0_prediction=bool(args.x0_predict),
+        scheduler=args.scheduler,
+        learning_rate=args.lr,
+        end_learning_rate=args.end_lr,
+        classifier_free_weight=args.class_weight,
+        classifier_free_prob=args.class_prob,
     )
     sched_total = args.schedule_total or (
         args.epochs if args.global_schedule else 0
