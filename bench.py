@@ -296,6 +296,28 @@ def main() -> None:
                 ),
                 "artifact": "runs_combined/README.md",
             }
+        # v2 of the same protocol (round 4): schedule-correct 2-epoch
+        # continue_train segments (--schedule_offset/--schedule_total, the
+        # 10-epoch linspace anneal reproduced across segments) with the
+        # grouped eval legs (Config.bleu_sample_group=64,
+        # Config.eval_loss_group=16) that cut the ~47% non-train overhead
+        # measured in v1. Walls are per-SEGMENT (2 epochs each).
+        _v2_walls = [w for _, w in _combined_epoch_walls("runs_combined_v2")]
+        if _v2_walls:
+            _v2_epochs = 2 * len(_v2_walls)
+            extras["combined_protocol_v2_wall"] = {
+                "segments_completed": len(_v2_walls),
+                "epochs_completed": _v2_epochs,
+                "segment_walls_s": [round(w) for w in _v2_walls],
+                "wall_s_measured_sum": round(sum(_v2_walls)),
+                "steps_per_epoch": 19937,
+                "wall_10ep_s": round(sum(_v2_walls) * 10.0 / _v2_epochs),
+                "a30_wall_s": 39600,
+                "vs_a30_end_to_end": round(
+                    39600 * _v2_epochs / (10.0 * sum(_v2_walls)), 2
+                ),
+                "artifact": "runs_combined_v2/",
+            }
 
     print(
         json.dumps(

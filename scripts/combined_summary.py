@@ -74,45 +74,65 @@ def main() -> None:
     # attempt number.
     walls = collect_epoch_walls(args.out)
 
-    (run_log,) = glob.glob(os.path.join(args.out, "epoch1_*.txt"))
-    with open(run_log, "rb") as f:
+    # epoch_num is part of the run-name codec: 1-epoch segments (v1) name the
+    # log epoch1_*, 2-epoch segments (v2) epoch2_*.
+    logs = glob.glob(os.path.join(args.out, "epoch*_*.txt"))
+    assert len(logs) == 1, f"expected one run log in {args.out}, found {logs}"
+    with open(logs[0], "rb") as f:
         text = f.read().decode("utf-8", "replace")
     rates = [float(x) for x in re.findall(r"^train steps/s: ([\d.]+)", text, re.M)]
-    # each 1-epoch continue_train segment logs its line as "epoch 0 average"
-    avgs = re.findall(r"^epoch \d+ average [^:]*: (.*)$", text, re.M)
+    # one "epoch N average" line per trained epoch; one BLEU-4 block per
+    # SEGMENT (the eval runs after the segment's epoch loop, reference
+    # CLIP-DDPM.py:604-631), so with multi-epoch segments len(avgs) =
+    # seg_epochs * len(bleus).
+    # NOT ^-anchored: the unterminated "BLEU-4 score: X" (reference byte
+    # parity) glues the next segment's first epoch line onto it.
+    avgs = re.findall(r"epoch \d+ average [^:]*: (.*)$", text, re.M)
     bleus = [float(x) for x in re.findall(r"^BLEU-4 score: ([\d.]+)", text, re.M)]
     draws = re.findall(r"^BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", text, re.M)
 
-    n = len(bleus)
-    print(f"completed epochs: {n}")
+    n = len(avgs) or len(bleus)
+    nseg = len(bleus)
+    # epochs per segment = the codec's leading epoch_num field (each segment
+    # is one run invocation, so its epoch_num IS the segment length)
+    seg_epochs = int(re.match(r"epoch(\d+)_", os.path.basename(logs[0])).group(1))
+    print(f"completed epochs: {n} ({nseg} segments x {seg_epochs} epochs)")
     print("epoch  wall_s  steps/s   BLEU-4            epoch-average line")
     for i in range(n):
-        wall = f"{walls[i][1]:.0f}" if i < len(walls) else "?"
         rate = f"{rates[i]:.3f}" if i < len(rates) else "?"
+        # wall + BLEU land on the last epoch of each completed segment
+        seg = (i + 1) // seg_epochs - 1 if (i + 1) % seg_epochs == 0 else None
+        wall = f"{walls[seg][1]:.0f}" if seg is not None and seg < len(walls) else ""
+        bleu = f"{bleus[seg]:.4f}" if seg is not None and seg < len(bleus) else ""
         dr = ""
-        # draws lines exist only for epochs run with --bleu_draws > 1; they
+        # draws lines exist only for segments run with --bleu_draws > 1; they
         # appear in the same order as their BLEU-4 score lines, counted from
-        # the end (early epochs predate the K-draw flag).
-        k = i - (n - len(draws))
-        if 0 <= k < len(draws):
-            dr = f" (K-draw mean {draws[k][0]} sd {draws[k][1]})"
+        # the end (early segments predate the K-draw flag).
+        if seg is not None:
+            k = seg - (nseg - len(draws))
+            if 0 <= k < len(draws):
+                dr = f" (K-draw mean {draws[k][0]} sd {draws[k][1]})"
         if i < len(avgs):
             tr = [f"{float(x):.3f}" for x in avgs[i].split(", ")[:3]]
             avg = "train x_t/x_1/prob = " + "/".join(tr)
         else:
             avg = "?"
-        print(f"{i + 1:>5}  {wall:>6}  {rate:>7}   {bleus[i]:.4f}{dr}  {avg}")
+        print(f"{i + 1:>5}  {wall:>6}  {rate:>7}   {bleu:>6}{dr}  {avg}")
 
-    total = sum(w for _, w in walls[:n])
+    n_done = seg_epochs * len(walls)  # epochs inside completed-wall segments
+    total = sum(w for _, w in walls)
     print(f"\nsum of completed-segment walls: {total:.0f} s = {total / 3600:.2f} h")
-    if n:
-        print(f"mean epoch wall: {total / n:.0f} s; projected 10-epoch: {total / n * 10 / 3600:.2f} h")
-    if n and total:
+    if n_done:
+        print(
+            f"mean epoch wall: {total / n_done:.0f} s; "
+            f"projected 10-epoch: {total / n_done * 10 / 3600:.2f} h"
+        )
+    if n_done and total:
         # epoch-count-matched ratio: A30 wall for the SAME number of epochs
         # (11 h / 10 epochs) against our measured walls for those epochs.
-        a30_same = args.a30_wall_s * n / 10.0
+        a30_same = args.a30_wall_s * n_done / 10.0
         print(
-            f"vs A30 end-to-end at {n} epochs "
+            f"vs A30 end-to-end at {n_done} epochs "
             f"({a30_same:.0f} s of its {args.a30_wall_s:.0f} s): "
             f"{a30_same / total:.2f}x"
         )

@@ -263,7 +263,52 @@ def test_combined_summary_cli(tmp_path):
     assert "1000" in row1 and "19.912" in row1 and "0.2686" in row1
     assert "2000" in row2 and "0.2012" in row2
     assert "K-draw mean 0.201169 sd 0.000500" in row2
-    assert "K-draw" not in row1  # single-draw epoch predates the flag
-    assert "sum of completed-segment walls: 3000 s" in out
-    # epoch-count-matched ratio: 39600 * 2/10 / 3000 = 2.64x
-    assert "2.64x" in out
+
+
+def test_combined_summary_cli_multiepoch_segments(tmp_path):
+    """v2 layout: 2-epoch segments (one wall + one BLEU per SEGMENT, two
+    'epoch N average' lines each), plus the no-trailing-newline BLEU line
+    gluing the next segment's first epoch line onto it."""
+    run_log = tmp_path / "epoch2_tiny_run.txt"
+    run_log.write_text(
+        "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
+        "7.1, 6.2, 4.0, 6.0, 5.4, 2.2\n"
+        "train steps/s: 19.912\n"
+        "epoch 1 average x_t_loss, x_1_loss, prob_loss, val losses: "
+        "6.5, 5.8, 3.0, 5.9, 5.3, 2.0\n"
+        "train steps/s: 19.907\n"
+        "BLEU-4 draws (n=3): mean 0.201169 sd 0.000500 "
+        "values [0.2015, 0.2008, 0.2012]\n"
+        # reference byte parity: no trailing newline -> next segment glues on
+        "BLEU-4 score: 0.20116914132329689"
+        "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
+        "6.0, 5.4, 2.0, 5.8, 5.2, 1.8\n"
+        "train steps/s: 19.800\n"
+    )
+    seg = tmp_path / "segment_a1.log"
+    seg.write_text("segment 1/1 done (2400 s)\nwall: 2400 s; log: x\n")
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "combined_summary.py"),
+         "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    # 3 epoch lines, 1 BLEU -> 2 epochs/segment; 3rd epoch is in-flight
+    assert "completed epochs: 3 (1 segments x 2 epochs)" in out
+    lines = out.splitlines()
+    row1 = next(l for l in lines if l.strip().startswith("1 "))
+    row2 = next(l for l in lines if l.strip().startswith("2 "))
+    row3 = next(l for l in lines if l.strip().startswith("3 "))
+    assert "19.912" in row1 and "0.2012" not in row1  # no BLEU on epoch 1
+    assert "2400" in row2 and "0.2012" in row2  # wall+BLEU on segment end
+    assert "K-draw mean 0.201169 sd 0.000500" in row2
+    assert "19.800" in row3 and "6.000" in row3  # glued epoch line parsed
+    # completed-wall epochs = 2 -> mean 1200 s/epoch; A30 ratio over 2 epochs
+    assert "mean epoch wall: 1200 s" in out
+    assert "vs A30 end-to-end at 2 epochs" in out
+    assert "K-draw" not in row1  # mid-segment epoch carries no BLEU at all
+    assert "sum of completed-segment walls: 2400 s" in out
+    # epoch-count-matched ratio: 39600 * 2/10 / 2400 = 3.30x
+    assert "3.30x" in out
