@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Summarize the ablation grid in runs/trial_grid/ against the reference's
+trial orderings.
+
+The reference's scientific contribution is its trial grid
+(/root/reference/trial_add_concat/, trial_x_01_prediction/,
+trial_rounding_weight/, trial_lr/, trial_classification_free/ — the
+BASELINE.md BLEU rows). scripts/run_trial_grid.sh reruns those axes at the
+8k protocol scale on the correlated synthetic world; this tool parses each
+arm's run log and checks whether the reference's BLEU *orderings* reproduce:
+
+  concat > add             (0.1876 vs 0.1033)
+  x0 > x_{t-100}           (0.1876 vs 0.1575)
+  lambda 0.3 > 0.5         (0.1876 vs trial_rounding_weight's 0.5 arm)
+  linspace > logspace      (0.1876 vs 0.1699/0.1643)
+  linspace > cosine        (0.1876 vs 0.1848)
+  CFG w>0 hurts            (0.1876 vs 0.1395 @ w=1, 0.0759 @ w=0.3)
+
+Pure stdlib — safe to run next to a stepping TPU job. Emits a markdown
+table (for docs/PERF.md) plus PASS/FAIL lines per ordering.
+
+Usage: python scripts/trial_grid_summary.py [--out runs/trial_grid] [--md]
+"""
+import argparse
+import glob
+import os
+import re
+
+# (arm, reference BLEU-4, reference log provenance)
+REFERENCE = {
+    "baseline": (0.1876, "trial_lr/epoch15_..lr1E-04-5E-05_schedulerlinspace.. (README.md:7)"),
+    "add": (0.1033, "trial_add_concat/..clipadd..epoch15.."),
+    "xt100": (0.1575, "trial_x_01_prediction/..x_0_predictFalse.."),
+    "round05": (0.2193, "trial_rounding_weight/..round5E-01.. (combined-set run)"),
+    "cosine": (0.1848, "trial_lr/..schedulercosine_annealing.."),
+    "logspace": (0.1699, "trial_lr/..logspace.. (second arm 0.1643)"),
+    "cfg_w1": (0.1395, "trial_classification_free/..class_weight1E+00.."),
+    "cfg_w03": (0.0759, "trial_classification_free/..class_weight3E-01.."),
+}
+
+# The headline orderings (VERDICT round-3 next #2). Each entry is
+# (label, lhs arm, rhs arm): PASS iff bleu[lhs] > bleu[rhs].
+ORDERINGS = [
+    ("concat > add", "baseline", "add"),
+    ("x0 > x_{t-100}", "baseline", "xt100"),
+    ("lambda 0.3 > 0.5", "baseline", "round05"),
+    ("linspace > logspace", "baseline", "logspace"),
+    ("linspace > cosine", "baseline", "cosine"),
+    ("CFG w=1 hurts", "baseline", "cfg_w1"),
+    ("CFG w=0.3 hurts", "baseline", "cfg_w03"),
+]
+
+
+def parse_arm(arm_dir: str):
+    """Final-epoch BLEU of an arm: K-draw mean/sd when present, else the
+    last single-draw score. Returns (mean, sd, n_bleu_blocks) or None."""
+    logs = glob.glob(os.path.join(arm_dir, "epoch*_*.txt"))
+    if not logs:
+        return None
+    with open(logs[0], "rb") as f:
+        text = f.read().decode("utf-8", "replace")
+    draws = re.findall(
+        r"BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", text
+    )
+    scores = re.findall(r"BLEU-4 score: ([\d.]+)", text)
+    if not scores:
+        return None
+    if draws:
+        mean, sd = float(draws[-1][0]), float(draws[-1][1])
+    else:
+        mean, sd = float(scores[-1]), float("nan")
+    return mean, sd, len(scores)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="runs/trial_grid")
+    ap.add_argument("--md", action="store_true", help="markdown table only")
+    args = ap.parse_args()
+
+    results = {}
+    for arm in REFERENCE:
+        arm_dir = os.path.join(args.out, arm)
+        parsed = parse_arm(arm_dir)
+        done = os.path.exists(os.path.join(arm_dir, "DONE"))
+        if parsed:
+            results[arm] = (*parsed, done)
+
+    header = (
+        "| arm | synthetic BLEU-4 (K-draw mean +- sd) | reference BLEU-4 | status |\n"
+        "|---|---|---|---|"
+    )
+    print(header)
+    for arm, (ref_bleu, _prov) in REFERENCE.items():
+        if arm in results:
+            mean, sd, nseg, done = results[arm]
+            sd_s = f" +- {sd:.4f}" if sd == sd else ""
+            status = "done" if done else f"in flight ({nseg} segments)"
+            print(f"| {arm} | {mean:.4f}{sd_s} | {ref_bleu:.4f} | {status} |")
+        else:
+            print(f"| {arm} | — | {ref_bleu:.4f} | not run |")
+    if args.md:
+        return
+
+    print()
+    n_pass = n_avail = 0
+    for label, lhs, rhs in ORDERINGS:
+        if lhs in results and rhs in results and results[lhs][3] and results[rhs][3]:
+            n_avail += 1
+            a, b = results[lhs][0], results[rhs][0]
+            ok = a > b
+            n_pass += ok
+            print(f"{'PASS' if ok else 'FAIL'}  {label}: {a:.4f} vs {b:.4f}")
+        else:
+            print(f"----  {label}: awaiting arms")
+    if n_avail:
+        print(f"\norderings reproduced: {n_pass}/{n_avail}")
+
+
+if __name__ == "__main__":
+    main()

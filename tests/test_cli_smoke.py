@@ -312,3 +312,36 @@ def test_combined_summary_cli_multiepoch_segments(tmp_path):
     assert "sum of completed-segment walls: 2400 s" in out
     # epoch-count-matched ratio: 39600 * 2/10 / 2400 = 3.30x
     assert "3.30x" in out
+
+
+def test_trial_grid_summary_cli(tmp_path):
+    """trial_grid_summary.py: per-arm table (K-draw mean when present, last
+    single-draw score otherwise), DONE-gated ordering checks, FAIL on an
+    inverted ordering."""
+    for arm, body, done in [
+        ("baseline",
+         "BLEU-4 draws (n=3): mean 0.2500 sd 0.0010 values [..]\n"
+         "BLEU-4 score: 0.25", True),
+        ("add", "BLEU-4 score: 0.11", True),
+        ("xt100", "BLEU-4 score: 0.30", True),   # inverted vs reference
+        ("cosine", "BLEU-4 score: 0.20", False),  # not DONE -> no check
+    ]:
+        d = tmp_path / arm
+        d.mkdir()
+        (d / "epoch5_x.txt").write_text(body)
+        if done:
+            (d / "DONE").touch()
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "trial_grid_summary.py"),
+         "--out", str(tmp_path)],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "| baseline | 0.2500 +- 0.0010 | 0.1876 | done |" in out
+    assert "| add | 0.1100 | 0.1033 | done |" in out
+    assert "PASS  concat > add: 0.2500 vs 0.1100" in out
+    assert "FAIL  x0 > x_{t-100}: 0.2500 vs 0.3000" in out
+    assert "----  linspace > cosine: awaiting arms" in out  # not DONE
+    assert "orderings reproduced: 1/2" in out
