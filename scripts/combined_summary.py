@@ -99,9 +99,10 @@ def main() -> None:
     print(f"completed epochs: {n} ({nseg} segments x {seg_epochs} epochs)")
     print("epoch  wall_s  steps/s   BLEU-4            epoch-average line")
     for i in range(n):
-        rate = f"{rates[i]:.3f}" if i < len(rates) else "?"
-        # wall + BLEU land on the last epoch of each completed segment
+        # wall + BLEU + the per-fit steps/s line (train.py writes it once
+        # per segment) land on the last epoch of each completed segment
         seg = (i + 1) // seg_epochs - 1 if (i + 1) % seg_epochs == 0 else None
+        rate = f"{rates[seg]:.3f}" if seg is not None and seg < len(rates) else ""
         wall = f"{walls[seg][1]:.0f}" if seg is not None and seg < len(walls) else ""
         bleu = f"{bleus[seg]:.4f}" if seg is not None and seg < len(bleus) else ""
         dr = ""
@@ -139,4 +140,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `... | head` closing stdout is not an error
+        pass

@@ -271,9 +271,9 @@ def test_combined_summary_cli_multiepoch_segments(tmp_path):
     gluing the next segment's first epoch line onto it."""
     run_log = tmp_path / "epoch2_tiny_run.txt"
     run_log.write_text(
+        # one steps/s line per SEGMENT (train.py writes it once per fit)
         "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
         "7.1, 6.2, 4.0, 6.0, 5.4, 2.2\n"
-        "train steps/s: 19.912\n"
         "epoch 1 average x_t_loss, x_1_loss, prob_loss, val losses: "
         "6.5, 5.8, 3.0, 5.9, 5.3, 2.0\n"
         "train steps/s: 19.907\n"
@@ -283,7 +283,6 @@ def test_combined_summary_cli_multiepoch_segments(tmp_path):
         "BLEU-4 score: 0.20116914132329689"
         "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
         "6.0, 5.4, 2.0, 5.8, 5.2, 1.8\n"
-        "train steps/s: 19.800\n"
     )
     seg = tmp_path / "segment_a1.log"
     seg.write_text("segment 1/1 done (2400 s)\nwall: 2400 s; log: x\n")
@@ -301,10 +300,11 @@ def test_combined_summary_cli_multiepoch_segments(tmp_path):
     row1 = next(l for l in lines if l.strip().startswith("1 "))
     row2 = next(l for l in lines if l.strip().startswith("2 "))
     row3 = next(l for l in lines if l.strip().startswith("3 "))
-    assert "19.912" in row1 and "0.2012" not in row1  # no BLEU on epoch 1
-    assert "2400" in row2 and "0.2012" in row2  # wall+BLEU on segment end
+    assert "0.2012" not in row1 and "19.907" not in row1  # mid-segment row
+    # wall + BLEU + per-segment steps/s all land on the segment-final epoch
+    assert "2400" in row2 and "0.2012" in row2 and "19.907" in row2
     assert "K-draw mean 0.201169 sd 0.000500" in row2
-    assert "19.800" in row3 and "6.000" in row3  # glued epoch line parsed
+    assert "6.000" in row3  # glued epoch line parsed
     # completed-wall epochs = 2 -> mean 1200 s/epoch; A30 ratio over 2 epochs
     assert "mean epoch wall: 1200 s" in out
     assert "vs A30 end-to-end at 2 epochs" in out
