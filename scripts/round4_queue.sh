@@ -42,8 +42,38 @@ while :; do
   sleep 60
 done
 
-echo "[queue] cooling down ${COOLDOWN}s before the grid launch"
+echo "[queue] cooling down ${COOLDOWN}s before the schedule demo"
 sleep "$COOLDOWN"
+
+# Schedule-correct TPU demonstration (round-3 VERDICT #3): a monolithic
+# 4-epoch anneal vs 2x2-epoch --global_schedule segments on the 800-image
+# correlated world — the segmented run's per-epoch loss lines must match the
+# monolithic run's (CPU-tiny version: tests/test_schedule_offset.py::
+# test_two_segments_match_monolithic). Short legs; plain timeout, no
+# supervisor.
+echo "[queue] schedule-correct segmentation demo -> runs/sched_demo/"
+mkdir -p runs/sched_demo/mono runs/sched_demo/seg
+DIC_ATTENTION_BACKEND=pallas DIC_ATTN_BLOCK_BACKEND=pallas \
+DIC_ROUNDING_BACKEND=pallas timeout 1800 \
+  python scripts/run_correlated_world.py --epochs 4 --images 800 \
+  --out runs/sched_demo/mono > runs/sched_demo/mono.log 2>&1
+echo "[queue] sched demo mono rc=$?"
+sleep 60
+DIC_ATTENTION_BACKEND=pallas DIC_ATTN_BLOCK_BACKEND=pallas \
+DIC_ROUNDING_BACKEND=pallas timeout 1800 \
+  python scripts/run_correlated_world.py --epochs 4 --segments 2 \
+  --global_schedule --images 800 \
+  --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
+echo "[queue] sched demo seg rc=$?"
+
+# Full CPU test suite in the quiet window between the two TPU jobs: the one
+# core is free (no host-leg starvation, CLAUDE.md), and the CPU-forced env
+# dials no second tunnel client. Recorded for the round's verification gate.
+echo "[queue] running full CPU pytest suite (TPU quiet window)"
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 10000 \
+  python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1
+echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
+sleep 60
 
 mkdir -p "$GRID_OUT"
 echo "[queue] launching trial grid -> $GRID_OUT/grid.log"
