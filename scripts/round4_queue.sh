@@ -65,6 +65,8 @@ DIC_ROUNDING_BACKEND=pallas timeout 1800 \
   --global_schedule --images 800 \
   --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
 echo "[queue] sched demo seg rc=$?"
+python scripts/sched_demo_check.py > runs/sched_demo/CHECK.txt 2>&1
+echo "[queue] sched demo check: $(tail -1 runs/sched_demo/CHECK.txt)"
 
 # Full CPU test suite in the quiet window between the two TPU jobs: the one
 # core is free (no host-leg starvation, CLAUDE.md), and the CPU-forced env
