@@ -59,11 +59,63 @@ def collect_epoch_walls(out_dir: str):
     return walls
 
 
+def phase_budget(out_dir: str) -> None:
+    """Aggregate DIC_PHASE_TIMES lines across completed segments into the
+    per-segment overhead budget docs/PERF.md quotes.
+
+    Two emitter shapes (both stderr, captured in the segment logs):
+      [phase] pipeline <label>: X.Xs (total Y.Ys)   (pipeline.py milestones)
+      [phase] epoch N: train X.Xs (M steps) val Y.Ys (K batches)  (train.fit)
+    Only segments that completed (have a "wall:" line) are counted, so the
+    budget matches the walls in the epoch table.
+    """
+    seg_logs = [p for p, _ in collect_epoch_walls(out_dir)]
+    pipe = {}   # label -> [seconds per completed segment]
+    tr, va = [], []  # per-epoch train/val seconds across segments
+    for rel in seg_logs:
+        with open(os.path.join(out_dir, rel), "rb") as f:
+            data = f.read().decode("utf-8", "replace")
+        for lab, sec in re.findall(
+            r"^\[phase\] pipeline ([^:]+): ([\d.]+)s ", data, re.M
+        ):
+            pipe.setdefault(lab, []).append(float(sec))
+        for t, v in re.findall(
+            r"^\[phase\] epoch \d+: train ([\d.]+)s \(\d+ steps\) "
+            r"val ([\d.]+)s ", data, re.M,
+        ):
+            tr.append(float(t))
+            va.append(float(v))
+    if not pipe:
+        print("no [phase] lines found (run with DIC_PHASE_TIMES=1)")
+        return
+    nseg = max(len(v) for v in pipe.values())
+    print(f"per-segment phase budget (mean over {nseg} completed segments):")
+    total = 0.0
+    for lab, vals in pipe.items():
+        mean = sum(vals) / len(vals)
+        total += mean
+        print(f"  {lab:<32} {mean:8.1f} s")
+    print(f"  {'(sum of pipeline phases)':<32} {total:8.1f} s")
+    if tr:
+        mt, mv = sum(tr) / len(tr), sum(va) / len(va)
+        print(f"per-epoch inside fit (mean over {len(tr)} epochs): "
+              f"train {mt:.1f} s, val {mv:.1f} s")
+        print(f"non-train overhead share of a segment: "
+              f"{1 - (mt * len(tr) / nseg) / total:.1%}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="runs_combined")
     ap.add_argument("--a30_wall_s", type=float, default=11 * 3600.0)
+    ap.add_argument("--phases", action="store_true",
+                    help="print the per-segment phase/overhead budget "
+                         "aggregated from DIC_PHASE_TIMES lines")
     args = ap.parse_args()
+
+    if args.phases:
+        phase_budget(args.out)
+        return
 
     # One "wall: N s" line per segment that ran to completion; killed or
     # stalled segments never reach the print. Order on disk is not epoch
