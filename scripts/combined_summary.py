@@ -63,15 +63,18 @@ def phase_budget(out_dir: str) -> None:
     """Aggregate DIC_PHASE_TIMES lines across completed segments into the
     per-segment overhead budget docs/PERF.md quotes.
 
-    Two emitter shapes (both stderr, captured in the segment logs):
+    Emitter shapes (all stderr, captured in the segment logs):
       [phase] pipeline <label>: X.Xs (total Y.Ys)   (pipeline.py milestones)
       [phase] epoch N: train X.Xs (M steps) val Y.Ys (K batches)  (train.fit)
+      [phase] val BLEU: sample X.Xs score Y.Ys (...)  (pipeline.run_val_bleu)
+      [phase] checkpoint save (<tag>): X.Xs           (pipeline checkpoint_fn)
     Only segments that completed (have a "wall:" line) are counted, so the
     budget matches the walls in the epoch table.
     """
     seg_logs = [p for p, _ in collect_epoch_walls(out_dir)]
     pipe = {}   # label -> [seconds per completed segment]
     tr, va = [], []  # per-epoch train/val seconds across segments
+    bleu_sample, bleu_score, ck = [], [], []
     for rel in seg_logs:
         with open(os.path.join(out_dir, rel), "rb") as f:
             data = f.read().decode("utf-8", "replace")
@@ -85,6 +88,14 @@ def phase_budget(out_dir: str) -> None:
         ):
             tr.append(float(t))
             va.append(float(v))
+        for s, c in re.findall(
+            r"^\[phase\] val BLEU: sample ([\d.]+)s score ([\d.]+)s ",
+            data, re.M,
+        ):
+            bleu_sample.append(float(s))
+            bleu_score.append(float(c))
+        ck.extend(float(s) for s in re.findall(
+            r"^\[phase\] checkpoint save \([^)]*\): ([\d.]+)s", data, re.M))
     if not pipe:
         print("no [phase] lines found (run with DIC_PHASE_TIMES=1)")
         return
@@ -102,6 +113,13 @@ def phase_budget(out_dir: str) -> None:
               f"train {mt:.1f} s, val {mv:.1f} s")
         print(f"non-train overhead share of a segment: "
               f"{1 - (mt * len(tr) / nseg) / total:.1%}")
+    if bleu_sample:
+        print(f"val BLEU leg (mean over {len(bleu_sample)} evals): "
+              f"sample {sum(bleu_sample) / len(bleu_sample):.1f} s, "
+              f"score {sum(bleu_score) / len(bleu_score):.1f} s")
+    if ck:
+        print(f"checkpoint saves: {len(ck)} x "
+              f"{sum(ck) / len(ck):.1f} s mean")
 
 
 def main() -> None:
