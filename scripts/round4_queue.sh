@@ -53,14 +53,16 @@ sleep "$COOLDOWN"
 # supervisor.
 echo "[queue] schedule-correct segmentation demo -> runs/sched_demo/"
 mkdir -p runs/sched_demo/mono runs/sched_demo/seg
-DIC_ATTENTION_BACKEND=pallas DIC_ATTN_BLOCK_BACKEND=pallas \
-DIC_ROUNDING_BACKEND=pallas timeout 1800 \
+# No DIC_*_BACKEND=pallas forcing: the guards consult .jax_cache markers and
+# skip their probe children when warm, but forcing skips the HANG-guard too —
+# on a cold/busted cache the Mosaic compile runs inline and can hang
+# (observed 2026-08-20, v2 segment a1). Guards give pallas either way.
+timeout 1800 \
   python scripts/run_correlated_world.py --epochs 4 --images 800 \
   --out runs/sched_demo/mono > runs/sched_demo/mono.log 2>&1
 echo "[queue] sched demo mono rc=$?"
 sleep 60
-DIC_ATTENTION_BACKEND=pallas DIC_ATTN_BLOCK_BACKEND=pallas \
-DIC_ROUNDING_BACKEND=pallas timeout 1800 \
+timeout 1800 \
   python scripts/run_correlated_world.py --epochs 4 --segments 2 \
   --global_schedule --images 800 \
   --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
