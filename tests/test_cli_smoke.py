@@ -345,3 +345,42 @@ def test_trial_grid_summary_cli(tmp_path):
     assert "FAIL  x0 > x_{t-100}: 0.2500 vs 0.3000" in out
     assert "----  linspace > cosine: awaiting arms" in out  # not DONE
     assert "orderings reproduced: 1/2" in out
+
+
+def test_combined_summary_phases(tmp_path):
+    """--phases aggregates DIC_PHASE_TIMES stderr lines from completed
+    segment logs into the per-segment overhead budget (pipeline milestones,
+    fit train/val split, val-BLEU sample/score split, checkpoint saves)."""
+    seg = tmp_path / "segment_a1.log"
+    seg.write_text(
+        "[phase] pipeline data: 20.0s (total 20.0s)\n"
+        "[phase] pipeline model init + restore: 60.0s (total 80.0s)\n"
+        "[phase] epoch 0: train 1000.0s (19937 steps) val 50.0s (311 batches)\n"
+        "[phase] checkpoint save (early-stop): 30.0s\n"
+        "[phase] epoch 1: train 990.0s (19937 steps) val 50.0s (311 batches)\n"
+        "[phase] pipeline fit (train+val epochs + ckpt): 2120.0s (total 2200.0s)\n"
+        "[phase] pipeline demos: 10.0s (total 2210.0s)\n"
+        "[phase] val BLEU: sample 200.0s score 40.0s (3 draw(s) x 311 batches, group 64)\n"
+        "[phase] pipeline val BLEU: 240.0s (total 2450.0s)\n"
+        "[phase] checkpoint save (final): 30.0s\n"
+        "[phase] pipeline final save: 30.0s (total 2480.0s)\n"
+        "wall: 2480 s; log: x\n"
+    )
+    stalled = tmp_path / "segment_a2.log"  # no wall line: must be ignored
+    stalled.write_text("[phase] pipeline data: 99.0s (total 99.0s)\n")
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "combined_summary.py"),
+         "--out", str(tmp_path), "--phases"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "mean over 1 completed segments" in out
+    assert "data" in out and "20.0 s" in out            # not the stalled 99.0
+    assert "(sum of pipeline phases)" in out and "2480.0 s" in out
+    assert "train 995.0 s, val 50.0 s" in out           # mean of 1000, 990
+    # non-train share: 1 - (995*2)/2480 = 19.8%
+    assert "non-train overhead share of a segment: 19.8%" in out
+    assert "sample 200.0 s, score 40.0 s" in out
+    assert "checkpoint saves: 2 x 30.0 s mean" in out
