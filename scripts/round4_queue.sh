@@ -1,9 +1,11 @@
 #!/bin/bash
 # Serialized round-4 TPU job queue: wait for the combined-protocol v2
-# supervisor to finish (runs_combined_v2/ reaches 10/10 epochs), cool the
-# tunnel down, then launch the trial-grid driver. TPU jobs MUST be
-# serialized on this box (CLAUDE.md) — this chain removes idle time at the
-# boundary without overlapping clients.
+# supervisor to finish (runs_combined_v2/ reaches 10/10 epochs), run the
+# full CPU pytest suite immediately (CPU-forced env dials no tunnel client,
+# so no cooldown is needed — the verification gate must land before the
+# round ends), then the schedule demo, then the trial grid. TPU jobs MUST
+# be serialized on this box (CLAUDE.md) — this chain removes idle time at
+# the boundary without overlapping clients.
 #
 # Launch detached:
 #   nohup setsid bash scripts/round4_queue.sh > /tmp/round4_queue.log 2>&1 &
@@ -42,6 +44,15 @@ while :; do
   sleep 60
 done
 
+# Full CPU test suite FIRST in the quiet window: the one core is free (no
+# host-leg starvation, CLAUDE.md), the CPU-forced env dials no second tunnel
+# client, and the round's verification gate (VERDICT #6) outranks the demo.
+echo "[queue] running full CPU pytest suite (TPU quiet window)"
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 10000 \
+  python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1
+echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
+cp /tmp/pytest_r4.log runs/pytest_r4.log 2>/dev/null || true
+
 echo "[queue] cooling down ${COOLDOWN}s before the schedule demo"
 sleep "$COOLDOWN"
 
@@ -69,14 +80,6 @@ timeout 1800 \
 echo "[queue] sched demo seg rc=$?"
 python scripts/sched_demo_check.py > runs/sched_demo/CHECK.txt 2>&1
 echo "[queue] sched demo check: $(tail -1 runs/sched_demo/CHECK.txt)"
-
-# Full CPU test suite in the quiet window between the two TPU jobs: the one
-# core is free (no host-leg starvation, CLAUDE.md), and the CPU-forced env
-# dials no second tunnel client. Recorded for the round's verification gate.
-echo "[queue] running full CPU pytest suite (TPU quiet window)"
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 10000 \
-  python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1
-echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
 sleep 60
 
 mkdir -p "$GRID_OUT"
