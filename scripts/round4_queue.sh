@@ -1,11 +1,14 @@
 #!/bin/bash
 # Serialized round-4 TPU job queue: wait for the combined-protocol v2
 # supervisor to finish (runs_combined_v2/ reaches 10/10 epochs), run the
-# full CPU pytest suite immediately (CPU-forced env dials no tunnel client,
-# so no cooldown is needed — the verification gate must land before the
-# round ends), then the schedule demo, then the trial grid. TPU jobs MUST
-# be serialized on this box (CLAUDE.md) — this chain removes idle time at
-# the boundary without overlapping clients.
+# schedule demo while the TPU compile cache is warm (it is BOUNDED: two
+# ~15-min timeout-capped legs, and it is a VERDICT #3 deliverable), then
+# the full CPU pytest suite (unbounded-ish on a cold CPU cache — the
+# 2026-08-20 reboot wiped .jax_cache, so cold XLA:CPU compiles could run
+# hours; it gets the tail of the round under its own timeout), then the
+# trial grid with whatever remains. TPU jobs MUST be serialized on this
+# box (CLAUDE.md) — this chain removes idle time at the boundary without
+# overlapping clients.
 #
 # Launch detached:
 #   nohup setsid bash scripts/round4_queue.sh > /tmp/round4_queue.log 2>&1 &
@@ -44,17 +47,8 @@ while :; do
   sleep 60
 done
 
-# Full CPU test suite FIRST in the quiet window: the one core is free (no
-# host-leg starvation, CLAUDE.md), the CPU-forced env dials no second tunnel
-# client, and the round's verification gate (VERDICT #6) outranks the demo.
-echo "[queue] running full CPU pytest suite (TPU quiet window)"
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 10000 \
-  python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1
-echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
-cp /tmp/pytest_r4.log runs/pytest_r4.log 2>/dev/null || true
-
-echo "[queue] cooling down ${COOLDOWN}s before the schedule demo"
-sleep "$COOLDOWN"
+echo "[queue] settling 120s before the schedule demo (fresh tunnel client)"
+sleep 120
 
 # Schedule-correct TPU demonstration (round-3 VERDICT #3): a monolithic
 # 4-epoch anneal vs 2x2-epoch --global_schedule segments on the 800-image
@@ -80,6 +74,16 @@ timeout 1800 \
 echo "[queue] sched demo seg rc=$?"
 python scripts/sched_demo_check.py > runs/sched_demo/CHECK.txt 2>&1
 echo "[queue] sched demo check: $(tail -1 runs/sched_demo/CHECK.txt)"
+
+# Full CPU test suite in the quiet window after the demo (VERDICT #6): the
+# one core is free (no host-leg starvation, CLAUDE.md) and the CPU-forced
+# env dials no tunnel client. Cold-cache duration is the unbounded leg, so
+# it runs after the bounded demo; partial output still lands in the log.
+echo "[queue] running full CPU pytest suite (TPU quiet window)"
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 10000 \
+  python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1
+echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
+cp /tmp/pytest_r4.log runs/pytest_r4.log 2>/dev/null || true
 sleep 60
 
 mkdir -p "$GRID_OUT"
