@@ -239,6 +239,7 @@ def run_val_bleu(
     tokenizer,
     gt_table: dict,
     seed: int = 0,
+    watchdog=None,
 ) -> float:
     """Val-split BLEU-4 loop (CLIP-DDPM.py:604-631): 5-step sampling from
     noise, dedup-decode, all GT captions per image as references, per-batch
@@ -299,6 +300,12 @@ def run_val_bleu(
             t_score += _time.monotonic() - t1
             pend_b.clear()
             pend_k.clear()
+            if watchdog is not None:
+                # each flush blocks on a device fetch — the poke cadence a
+                # supervisor needs to tell a healthy eval leg from a wedged
+                # one (segment a2, 2026-08-20: the BLEU leg wedged and only
+                # the segment-cap timeout caught it, ~45 min late)
+                watchdog.poke()
 
         for batch in val_batcher:
             key, k = jax.random.split(key)
@@ -346,6 +353,71 @@ def run_val_bleu(
     summary.write(f"BLEU-4 score: {score}")
     summary.flush()
     return score
+
+
+def run_flickr_bleu_only(
+    cfg: Config,
+    flickr8k_dir: Optional[str],
+    flickr30k_dir: Optional[str],
+    out_dir: str = ".",
+    assets_dir: Optional[str] = None,
+    seed: int = 0,
+) -> float:
+    """Standalone val-split BLEU eval of an existing checkpointed run — the
+    reference's end-of-training eval loop (CLIP-DDPM.py:604-631) detached
+    from training.
+
+    Two uses: (a) score any saved checkpoint without retraining (the
+    reference can only produce this number by rerunning main()); (b) wedge
+    recovery — if a segment dies AFTER its in-fit checkpoint save but BEFORE
+    its BLEU lines land (the eval leg is a device-heavy tunnel phase,
+    observed wedged 2026-08-20), this appends the exact missing lines:
+    run_val_bleu's key stream depends only on `seed` and the saved val
+    split, both restored here, so the scores are the ones the interrupted
+    segment would have written.
+
+    Requires the run's checkpoint + saved val indices under the cfg codec
+    name in `out_dir`. Appends to the codec-named log exactly like the end
+    of run_flickr_training; returns the BLEU mean."""
+    name = model_name(cfg)
+    imgs, caps, img_feat, txt_feat = flickr_data.load_combined(
+        flickr8k_dir, flickr30k_dir
+    )
+    tokenizer = build_tokenizer(cfg, caps, assets_dir)
+    if cfg.train_embedding:
+        cfg = cfg.replace(vocab_size=tokenizer.vocab_size)
+    columns = flickr_data.make_flickr_dataset(
+        imgs, caps, img_feat, txt_feat, tokenizer, cfg.max_length
+    )
+    val_idx = ck.load_val_indices(name, out_dir)
+    val_b = Batcher(columns, val_idx, cfg.batch_size, shuffle=False)
+
+    model, params = init_denoiser(cfg, jax.random.PRNGKey(seed))
+    params, _ = load_pretrained_embedding(
+        params, assets_dir and os.path.join(assets_dir, "distilbert-base-uncased-local")
+    )
+    tx = tr.make_optimizer(cfg)
+    state = tr.init_train_state(cfg, params, tx)
+    state, _, _ = ck.restore(name, out_dir, template=state)
+    params = tr.merge_params(state.trainable, state.frozen)
+
+    from diffusion_image_captioning_tpu.utils.profiling import StallWatchdog
+
+    summary = Summary(cfg, out_dir)
+    gt = flickr_data.captions_by_image(imgs, caps)
+    eval_wd = StallWatchdog(
+        timeout_s=float(os.environ.get("DIC_STALL_TIMEOUT_S", "600")),
+        label="eval",
+    ).start()
+    try:
+        bleu = run_val_bleu(
+            summary, model, cfg, params, val_b, tokenizer, gt, seed,
+            watchdog=eval_wd,
+        )
+    finally:
+        eval_wd.stop()
+    summary.close()
+    return bleu
 
 
 def run_flickr_training(
@@ -501,10 +573,28 @@ def run_flickr_training(
     _phase("fit (train+val epochs + ckpt)")
 
     params = tr.merge_params(state.trainable, state.frozen)
-    write_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
-    _phase("demos")
-    gt = flickr_data.captions_by_image(imgs, caps)
-    bleu = run_val_bleu(summary, model, cfg, params, val_b, tokenizer, gt, seed)
+    # The post-fit legs (demos + from-noise BLEU) are device-heavy tunnel
+    # phases with no watchdog of their own — segment a2 of the v2 combined
+    # protocol wedged HERE (2026-08-20) and burned silently until the
+    # supervisor's whole-segment cap. Same detector as fit(), same
+    # supervisor-greppable "no progress" line.
+    from diffusion_image_captioning_tpu.utils.profiling import StallWatchdog
+
+    eval_wd = StallWatchdog(
+        timeout_s=float(os.environ.get("DIC_STALL_TIMEOUT_S", "600")),
+        label="eval",
+    ).start()
+    try:
+        write_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
+        eval_wd.poke()
+        _phase("demos")
+        gt = flickr_data.captions_by_image(imgs, caps)
+        bleu = run_val_bleu(
+            summary, model, cfg, params, val_b, tokenizer, gt, seed,
+            watchdog=eval_wd,
+        )
+    finally:
+        eval_wd.stop()
     mem_report("eval")
     _phase("val BLEU")
     ck.save_val_indices(name, out_dir, val_idx)

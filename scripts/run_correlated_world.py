@@ -104,6 +104,13 @@ def main() -> None:
                         "per-segment epoch_num (epochs/segments) must match "
                         "the original invocation's, since it is part of the "
                         "run-name codec the checkpoint lives under.")
+    p.add_argument("--bleu_only", action="store_true",
+                   help="skip training: restore the run's checkpoint + saved "
+                        "val split and run ONLY the end-of-run val BLEU loop, "
+                        "appending the 'BLEU-4 draws'/'BLEU-4 score:' lines "
+                        "to the codec-named log. Wedge recovery for a "
+                        "segment that died after its checkpoint save but "
+                        "before its BLEU lines (pipeline.run_flickr_bleu_only)")
     p.add_argument("--segments", type=int, default=1,
                    help="split the run into N continue_train segments of "
                         "epochs/N each. Long-run wedge mitigation: the "
@@ -161,6 +168,17 @@ def main() -> None:
         )
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()
+    if args.bleu_only:
+        c = dataclasses.replace(cfg, continue_train=True)
+        if sched_total:
+            c = dataclasses.replace(
+                c,
+                schedule_offset_epochs=args.schedule_offset,
+                schedule_total_epochs=sched_total,
+            )
+        bleu = pipeline.run_flickr_bleu_only(c, d, d30, out_dir=args.out)
+        print(f"bleu_only: {bleu} ({time.time() - t0:.0f} s)")
+        return
     per_seg = args.epochs // args.segments
     for seg in range(args.segments):
         c = dataclasses.replace(cfg, continue_train=args.resume or seg > 0)

@@ -94,13 +94,29 @@ while :; do
   if [ -n "$GLOBAL_LR" ]; then
     sched="--schedule_offset $done_n --schedule_total $EPOCHS"
   fi
+  # BLEU-only rescue: if the PREVIOUS attempt got through fit (its epochs
+  # are checkpointed — the phase line below prints after the in-fit final
+  # save) but died in the post-fit eval legs (demos/BLEU wedge, observed
+  # 2026-08-20 on v2 segment a2), a full retry would re-train checkpointed
+  # epochs. Recover the missing BLEU lines from the checkpoint instead
+  # (run_correlated_world --bleu_only; key stream depends only on seed +
+  # saved val split, so the scores are the ones the dead segment owed).
+  mode=""
+  if [ -n "${prev_failed:-}" ] && [ -z "${last_was_rescue:-}" ] \
+     && [ -n "${last_seglog:-}" ] \
+     && grep -aq "pipeline fit (train+val epochs + ckpt)" "$last_seglog"; then
+    mode="--bleu_only"
+  fi
+  last_was_rescue=$mode
   seglog="$OUT/segment_a${attempt}.log"
-  echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${resume:-fresh} -> $seglog"
+  last_seglog="$seglog"
+  echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${mode:-${resume:-fresh}} -> $seglog"
+  DIC_PHASE_TIMES=1 \
   DIC_STALL_TIMEOUT_S=$STALL_S \
   DIC_DRAIN_EVERY_STEPS=$DRAIN_STEPS DIC_DRAIN_SLEEP_S=$DRAIN_SLEEP \
   setsid timeout "$SEG_CAP_S" \
     python "$CHILD" \
-    --epochs "$SEG_EPOCHS" --segments 1 $resume $sched $EXTRA --out "$OUT" >"$seglog" 2>&1 &
+    --epochs "$SEG_EPOCHS" --segments 1 $mode $resume $sched $EXTRA --out "$OUT" >"$seglog" 2>&1 &
   pid=$!
   echo "$pid" > "$OUT/segment.pid"   # PID-targeted kill only — never pkill -f
   stalled=0
@@ -117,8 +133,10 @@ while :; do
   rc=$?
   echo "[supervisor] segment rc=$rc stalled=$stalled done=$(completed)/$EPOCHS"
   if [ "$stalled" -eq 1 ] || [ "$rc" -ne 0 ]; then
+    prev_failed=1
     sleep "$COOLDOWN"
   else
+    prev_failed=""
     sleep "$SETTLE"
   fi
 done

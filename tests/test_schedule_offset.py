@@ -134,3 +134,38 @@ class TestSegmentedEqualsMonolithic:
         )
         assert r1[0]["train_x_t"] != hist_mono[1]["train_x_t"]
         del jax  # imported for backend init ordering only
+
+
+class TestBleuOnly:
+    def test_rescue_reproduces_missing_bleu_lines(self, tmp_path):
+        """pipeline.run_flickr_bleu_only: truncate a finished run's log to
+        just before its BLEU lines (the state a segment is left in when the
+        eval leg wedges after the in-fit checkpoint save — observed
+        2026-08-20 on the v2 combined protocol) and re-append them from the
+        checkpoint. The restored log must be BYTE-IDENTICAL: run_val_bleu's
+        key stream depends only on the seed and the saved val split."""
+        from diffusion_image_captioning_tpu import pipeline
+        from diffusion_image_captioning_tpu.config import model_name
+        from diffusion_image_captioning_tpu.data.synthetic import (
+            synthetic_flickr_dirs,
+        )
+
+        # same shapes as TestSegmentedEqualsMonolithic (compile-cache reuse)
+        cfg = TINY.replace(
+            epoch_num=2,
+            refine_steps_eval=2,
+            refine_steps_demo=3,
+            bleu_draws=1,
+        )
+        world = synthetic_flickr_dirs(str(tmp_path / "w"), n=40)
+        out = str(tmp_path / "run")
+        _, _, bleu = pipeline.run_flickr_training(cfg, world, None, out_dir=out)
+
+        log = tmp_path / "run" / (model_name(cfg) + ".txt")
+        full = log.read_bytes()
+        cut = full.rindex(b"BLEU-4 score:")
+        log.write_bytes(full[:cut])
+
+        got = pipeline.run_flickr_bleu_only(cfg, world, None, out_dir=out)
+        assert got == bleu
+        assert log.read_bytes() == full

@@ -39,6 +39,15 @@ _STUB = textwrap.dedent(
         time.sleep(600)
     if action == "hang":
         time.sleep(600)  # exceeds SEG_CAP_S; killed by timeout(1)
+    if action == "evalwedge":
+        # fit completed (epochs checkpointed, the phase line the supervisor
+        # greps for landed) but the post-fit eval leg wedged: the watchdog
+        # line fires and the supervisor must kill us, then recover with a
+        # --bleu_only attempt instead of a full re-train
+        print("[phase] pipeline fit (train+val epochs + ckpt): 1.0s"
+              " (total 1.0s)", flush=True)
+        print("no progress", flush=True)
+        time.sleep(600)
     # like the real child: epoch_num (= --epochs per segment) leads the
     # run-name codec, so SEG_EPOCHS=2 segments write epoch2_*.txt
     ep = sys.argv[sys.argv.index("--epochs") + 1]
@@ -162,6 +171,37 @@ def test_seg_epochs_must_divide_epochs(tmp_path):
     )
     assert proc.returncode == 2
     assert "must divide evenly" in proc.stderr
+
+
+def test_evalwedge_recovers_with_bleu_only(tmp_path):
+    # a segment that finishes fit (ckpt saved) but wedges in the post-fit
+    # eval legs must be recovered by a --bleu_only attempt, not a full
+    # re-train of already-checkpointed epochs (v2 segment a2, 2026-08-20)
+    proc, out = _run_supervisor(
+        tmp_path, ["ok", "evalwedge", "ok", "ok"], epochs=3
+    )
+    assert proc.returncode == 0
+    assert "complete: 3/3 epochs" in proc.stdout
+    argv = (out / "argv.log").read_text().splitlines()
+    assert len(argv) == 4
+    assert "--bleu_only" not in argv[0] and "--bleu_only" not in argv[1]
+    assert "--bleu_only" in argv[2]  # the rescue attempt
+    assert "--bleu_only" not in argv[3]  # back to normal segments
+
+
+def test_failed_rescue_falls_back_to_retrain(tmp_path):
+    # if the --bleu_only rescue itself wedges, the next attempt must NOT be
+    # another rescue — it falls back to the full continue_train retry
+    proc, out = _run_supervisor(
+        tmp_path, ["evalwedge", "evalwedge", "ok"], epochs=1
+    )
+    assert proc.returncode == 0
+    assert "complete: 1/1 epochs" in proc.stdout
+    argv = (out / "argv.log").read_text().splitlines()
+    assert len(argv) == 3
+    assert "--bleu_only" not in argv[0]
+    assert "--bleu_only" in argv[1]
+    assert "--bleu_only" not in argv[2]
 
 
 def test_stop_sentinel_exits_cleanly(tmp_path):
