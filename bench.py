@@ -279,7 +279,7 @@ def main() -> None:
         # walls are parsed from the committed segment logs at bench time
         # (scripts/combined_summary.py), so this record cannot drift from
         # the artifact it cites.
-        _combined_walls = [w for _, w in _combined_epoch_walls("runs_combined")]
+        _combined_walls = [w for _, w, _ in _combined_epoch_walls("runs_combined")]
         if _combined_walls:
             extras["combined_protocol_10ep_wall"] = {
                 "epochs_completed": len(_combined_walls),
@@ -302,13 +302,17 @@ def main() -> None:
         # grouped eval legs (Config.bleu_sample_group=64,
         # Config.eval_loss_group=16) that cut the ~47% non-train overhead
         # measured in v1. Walls are per-SEGMENT (2 epochs each).
-        _v2_walls = [w for _, w in _combined_epoch_walls("runs_combined_v2")]
+        _v2 = _combined_epoch_walls("runs_combined_v2")
+        _v2_walls = [w for _, w, _ in _v2]
         if _v2_walls:
             _v2_epochs = 2 * len(_v2_walls)
             extras["combined_protocol_v2_wall"] = {
                 "segments_completed": len(_v2_walls),
                 "epochs_completed": _v2_epochs,
                 "segment_walls_s": [round(w) for w in _v2_walls],
+                "lower_bound_segments": [
+                    rel for rel, _, exact in _v2 if not exact
+                ],
                 "wall_s_measured_sum": round(sum(_v2_walls)),
                 "steps_per_epoch": 19937,
                 "wall_10ep_s": round(sum(_v2_walls) * 10.0 / _v2_epochs),

@@ -39,7 +39,18 @@ def segment_sort_key(path: str, out_dir: str):
 
 
 def collect_epoch_walls(out_dir: str):
-    """Return [(relpath, wall_s), ...] for completed segments in epoch order.
+    """Return [(relpath, wall_s, exact), ...] for segments whose EPOCHS
+    completed, in epoch order.
+
+    exact=True: the segment printed its final "wall: N s" line.
+    exact=False: the segment finished fit (its epochs are real and
+    checkpointed — a --bleu_only rescue appends the missing score) but was
+    killed in a post-fit eval leg before the wall line printed (observed
+    2026-08-20, v2 segment a2); wall_s is then the last DIC_PHASE_TIMES
+    pipeline total, a LOWER BOUND that excludes the wedge burn and the
+    rescue attempt. Skipping such segments instead would silently mispair
+    every later segment's wall with the wrong epochs AND make the protocol
+    total look faster than measured.
 
     Shared with bench.py so the benched per-epoch walls can never drift
     from the committed artifact.
@@ -53,9 +64,16 @@ def collect_epoch_walls(out_dir: str):
     for path in seg_logs:
         with open(path, "rb") as f:
             data = f.read().decode("utf-8", "replace")
+        rel = os.path.relpath(path, out_dir)
         m = re.search(r"^wall: (\d+(?:\.\d+)?) s", data, re.M)
         if m:
-            walls.append((os.path.relpath(path, out_dir), float(m.group(1))))
+            walls.append((rel, float(m.group(1)), True))
+        elif re.search(r"^\[phase\] pipeline fit \(", data, re.M):
+            totals = re.findall(
+                r"^\[phase\] pipeline [^:]+: [\d.]+s \(total ([\d.]+)s\)",
+                data, re.M,
+            )
+            walls.append((rel, float(totals[-1]), False))
     return walls
 
 
@@ -68,10 +86,10 @@ def phase_budget(out_dir: str) -> None:
       [phase] epoch N: train X.Xs (M steps) val Y.Ys (K batches)  (train.fit)
       [phase] val BLEU: sample X.Xs score Y.Ys (...)  (pipeline.run_val_bleu)
       [phase] checkpoint save (<tag>): X.Xs           (pipeline checkpoint_fn)
-    Only segments that completed (have a "wall:" line) are counted, so the
-    budget matches the walls in the epoch table.
+    Only segments whose epochs completed (collect_epoch_walls) are counted,
+    so the budget matches the walls in the epoch table.
     """
-    seg_logs = [p for p, _ in collect_epoch_walls(out_dir)]
+    seg_logs = [p for p, _, _ in collect_epoch_walls(out_dir)]
     pipe = {}   # label -> [seconds per completed segment]
     tr, va = [], []  # per-epoch train/val seconds across segments
     bleu_sample, bleu_score, ck = [], [], []
@@ -173,7 +191,10 @@ def main() -> None:
         # per segment) land on the last epoch of each completed segment
         seg = (i + 1) // seg_epochs - 1 if (i + 1) % seg_epochs == 0 else None
         rate = f"{rates[seg]:.3f}" if seg is not None and seg < len(rates) else ""
-        wall = f"{walls[seg][1]:.0f}" if seg is not None and seg < len(walls) else ""
+        wall = ""
+        if seg is not None and seg < len(walls):
+            _, w, exact = walls[seg]
+            wall = f"{w:.0f}" if exact else f">={w:.0f}"
         bleu = f"{bleus[seg]:.4f}" if seg is not None and seg < len(bleus) else ""
         dr = ""
         # draws lines exist only for segments run with --bleu_draws > 1; they
@@ -191,7 +212,11 @@ def main() -> None:
         print(f"{i + 1:>5}  {wall:>6}  {rate:>7}   {bleu:>6}{dr}  {avg}")
 
     n_done = seg_epochs * len(walls)  # epochs inside completed-wall segments
-    total = sum(w for _, w in walls)
+    total = sum(w for _, w, _ in walls)
+    inexact = [rel for rel, _, exact in walls if not exact]
+    if inexact:
+        print(f"NOTE: lower-bound walls (segment killed in a post-fit eval leg,"
+              f" wedge burn + rescue excluded): {', '.join(inexact)}")
     print(f"\nsum of completed-segment walls: {total:.0f} s = {total / 3600:.2f} h")
     if n_done:
         print(

@@ -72,7 +72,18 @@ completed() {
   echo $((segs * SEG_EPOCHS))
 }
 
+# Continue the attempt numbering from any existing segment logs: a
+# relaunched supervisor restarting at a1 OVERWRITES the previous
+# generation's logs (observed 2026-08-20 — the original segment_a1.log was
+# clobbered and had to be recovered from git; epoch/wall pairing in
+# combined_summary keys on these files).
 attempt=0
+for f in "$OUT"/segment_a*.log; do
+  [ -e "$f" ] || continue
+  i=${f##*_a}
+  i=${i%.log}
+  if [ "$i" -gt "$attempt" ] 2>/dev/null; then attempt=$i; fi
+done
 while :; do
   if [ -f "$OUT/STOP" ]; then
     echo "[supervisor] STOP sentinel found — exiting cleanly at $(completed)/$EPOCHS"

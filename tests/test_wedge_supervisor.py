@@ -204,6 +204,23 @@ def test_failed_rescue_falls_back_to_retrain(tmp_path):
     assert "--bleu_only" not in argv[2]
 
 
+def test_relaunch_never_overwrites_prior_segment_logs(tmp_path):
+    # a relaunched supervisor must continue the attempt numbering past any
+    # existing segment logs, not restart at a1 over them (2026-08-20: a
+    # relaunch clobbered segment_a1.log, recovered only because it was
+    # committed)
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "segment_a1.log").write_text("previous generation\n")
+    (out / "segment_a3.log").write_text("previous generation\n")
+    proc, out = _run_supervisor(tmp_path, ["ok"], epochs=1)
+    assert proc.returncode == 0
+    assert "complete: 1/1 epochs" in proc.stdout
+    assert (out / "segment_a1.log").read_text() == "previous generation\n"
+    assert (out / "segment_a3.log").read_text() == "previous generation\n"
+    assert (out / "segment_a4.log").exists()
+
+
 def test_stop_sentinel_exits_cleanly(tmp_path):
     out = tmp_path / "out"
     out.mkdir()
