@@ -30,6 +30,10 @@ V2_EPOCHS=${V2_EPOCHS:-10}
 GRID_OUT=${GRID_OUT:-runs/trial_grid}
 GRID_STOP_TS=${GRID_STOP_TS:-0}    # absolute ts: no NEW grid arm starts after
 PYTEST_END_TS=${PYTEST_END_TS:-0}  # absolute ts: pytest is killed at this time
+TPU_END_TS=${TPU_END_TS:-0}        # absolute ts: no TPU leg may RUN past this
+                                   # (the driver's round-end bench needs a
+                                   # quiet box); demo legs are skipped or
+                                   # timeout-clamped to it
 
 v2_done() {
   segs=$(cat "$V2_OUT"/epoch2_*.txt 2>/dev/null |
@@ -84,23 +88,39 @@ sleep 120
 # supervisor. Own world dir: the default /tmp/corrworld_ck holds the CACHED
 # 8,091-image world the grid arms reuse — an 800-image call into the same
 # dir would fail the caption-count cache check and regenerate over it.
+demo_budget() {  # remaining seconds until TPU_END_TS, capped at 1800
+  if [ "$TPU_END_TS" -le 0 ]; then echo 1800; return; fi
+  left=$((TPU_END_TS - $(date +%s)))
+  if [ "$left" -gt 1800 ]; then left=1800; fi
+  echo "$left"
+}
 echo "[queue] schedule-correct segmentation demo -> runs/sched_demo/"
 mkdir -p runs/sched_demo/mono runs/sched_demo/seg
 # No DIC_*_BACKEND=pallas forcing: the guards consult .jax_cache markers and
 # skip their probe children when warm, but forcing skips the HANG-guard too —
 # on a cold/busted cache the Mosaic compile runs inline and can hang
 # (observed 2026-08-20, v2 segment a1). Guards give pallas either way.
-timeout 1800 \
-  python scripts/run_correlated_world.py --epochs 4 --images 800 \
-  --world_dir /tmp/sched_world \
-  --out runs/sched_demo/mono > runs/sched_demo/mono.log 2>&1
-echo "[queue] sched demo mono rc=$?"
-sleep 60
-timeout 1800 \
-  python scripts/run_correlated_world.py --epochs 4 --segments 2 \
-  --global_schedule --images 800 --world_dir /tmp/sched_world \
-  --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
-echo "[queue] sched demo seg rc=$?"
+b=$(demo_budget)
+if [ "$b" -lt 300 ]; then
+  echo "[queue] no TPU budget for the demo ($b s) — skipping"
+else
+  timeout "$b" \
+    python scripts/run_correlated_world.py --epochs 4 --images 800 \
+    --world_dir /tmp/sched_world \
+    --out runs/sched_demo/mono > runs/sched_demo/mono.log 2>&1
+  echo "[queue] sched demo mono rc=$?"
+  sleep 60
+fi
+b=$(demo_budget)
+if [ "$b" -lt 300 ]; then
+  echo "[queue] no TPU budget for the demo seg leg ($b s) — skipping"
+else
+  timeout "$b" \
+    python scripts/run_correlated_world.py --epochs 4 --segments 2 \
+    --global_schedule --images 800 --world_dir /tmp/sched_world \
+    --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
+  echo "[queue] sched demo seg rc=$?"
+fi
 env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
   python scripts/sched_demo_check.py > runs/sched_demo/CHECK.txt 2>&1
 echo "[queue] sched demo check: $(tail -1 runs/sched_demo/CHECK.txt)"
