@@ -48,12 +48,14 @@ while :; do
     exit 0
   fi
   n=$(v2_done)
-  if [ "$n" -ge "$V2_EPOCHS" ]; then
-    # the supervisor may still be writing its completion lines / the last
-    # checkpoint — wait for its segment child to exit too
+  if [ "$n" -ge "$V2_EPOCHS" ] || [ -f "$V2_OUT/STOP" ]; then
+    # done, or the protocol was STOP'd early (wedge weather: the remaining
+    # TPU window is worth more as trial-grid arms than as the last
+    # segments — each arm is an independent deliverable). Either way the
+    # supervisor may still be mid-segment — wait for its child to exit.
     pid=$(cat "$V2_OUT/segment.pid" 2>/dev/null || echo "")
     if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
-      echo "[queue] v2 complete ($n/$V2_EPOCHS) and segment child gone"
+      echo "[queue] v2 finished ($n/$V2_EPOCHS$([ -f "$V2_OUT/STOP" ] && echo ', STOPped')) and segment child gone"
       break
     fi
   fi
@@ -105,7 +107,7 @@ if [ "$b" -lt 300 ]; then
   echo "[queue] no TPU budget for the demo ($b s) — skipping"
 else
   timeout "$b" \
-    python scripts/run_correlated_world.py --epochs 4 --images 800 \
+    python scripts/run_correlated_world.py --epochs 4 --images 400 \
     --world_dir /tmp/sched_world \
     --out runs/sched_demo/mono > runs/sched_demo/mono.log 2>&1
   echo "[queue] sched demo mono rc=$?"
@@ -117,7 +119,7 @@ if [ "$b" -lt 300 ]; then
 else
   timeout "$b" \
     python scripts/run_correlated_world.py --epochs 4 --segments 2 \
-    --global_schedule --images 800 --world_dir /tmp/sched_world \
+    --global_schedule --images 400 --world_dir /tmp/sched_world \
     --out runs/sched_demo/seg > runs/sched_demo/seg.log 2>&1
   echo "[queue] sched demo seg rc=$?"
 fi
