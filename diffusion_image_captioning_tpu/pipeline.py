@@ -128,10 +128,20 @@ def write_demos(
     val_indices: np.ndarray,
     tokenizer,
     seed: int = 0,
+    watchdog=None,
 ):
     """Qualitative demos appended to the run log (CLIP-DDPM.py:575-602):
     (a) 10-step refinement from x_999 of a val caption, decoding each step;
-    (b) single-shot restoration at t = 1, 101, ..., 901."""
+    (b) single-shot restoration at t = 1, 101, ..., 901.
+
+    `watchdog` (StallWatchdog) is poked per decoded row: a demo leg
+    legitimately slower than DIC_STALL_TIMEOUT_S (scales with
+    refine_steps_demo) must not read as a wedge (ADVICE round-4)."""
+
+    def _poke():
+        if watchdog is not None:
+            watchdog.poke()
+
     abar = schedules.alpha_cumprod_table(cfg)
     i = int(val_indices[0])
     text = val_columns["caption"][i] if "caption" in val_columns else val_columns["text"][i]
@@ -159,19 +169,23 @@ def write_demos(
         model, cfg, params, x_t, clip,
         steps=cfg.refine_steps_demo, collect_logits=True,
     )
+    _poke()  # refine() returned: the big device leg completed
     for step_logits in np.asarray(logits_seq):
         # demo decode is a plain argmax, no dedup (CLIP-DDPM.py:594)
         dec = tokenizer.decode(step_logits.argmax(-1)[0])
         summary.write(f"inferred: {dec}\n")
+        _poke()
 
     summary.write("text t effectiveness\n")
     probes = jnp.arange(1, cfg.step_tot, 100, dtype=jnp.int32)
     logits = sample.restore_at_t(
         model, cfg, params, abar, x0, probes, clip, mask, k2
     )
+    _poke()
     for t_val, row_logits in zip(np.asarray(probes), np.asarray(logits)):
         dec = tokenizer.decode(row_logits.argmax(-1))
         summary.write(f"t: {int(t_val)} restore: {dec}\n")
+        _poke()
     summary.flush()
 
 
@@ -585,7 +599,10 @@ def run_flickr_training(
         label="eval",
     ).start()
     try:
-        write_demos(summary, model, cfg, params, columns, val_idx, tokenizer, seed)
+        write_demos(
+            summary, model, cfg, params, columns, val_idx, tokenizer, seed,
+            watchdog=eval_wd,
+        )
         eval_wd.poke()
         _phase("demos")
         gt = flickr_data.captions_by_image(imgs, caps)

@@ -74,6 +74,25 @@ def collect_epoch_walls(out_dir: str):
                 data, re.M,
             )
             walls.append((rel, float(totals[-1]), False))
+    # Reconcile against the contractual run log: every COUNTED segment owns
+    # exactly one "BLEU-4 score:" write (direct or via --bleu_only rescue).
+    # A fit-completed-but-killed segment whose rescue ALSO failed is
+    # superseded by a full retrain (own wall line + own BLEU write) — keeping
+    # its lower-bound entry would double-count those epochs and mispair every
+    # later segment (ADVICE round-4). Drop surplus exact=False entries,
+    # latest first (retrains supersede the most recent wedges).
+    run_logs = glob.glob(os.path.join(out_dir, "epoch*_*.txt"))
+    if len(run_logs) == 1 and walls:
+        with open(run_logs[0], "rb") as f:
+            n_seg = len(re.findall(rb"BLEU-4 score:", f.read()))
+        while len(walls) > n_seg:
+            drop = next(
+                (i for i in range(len(walls) - 1, -1, -1) if not walls[i][2]),
+                None,
+            )
+            if drop is None:
+                break
+            walls.pop(drop)
     return walls
 
 

@@ -112,13 +112,20 @@ while :; do
   # epochs. Recover the missing BLEU lines from the checkpoint instead
   # (run_correlated_world --bleu_only; key stream depends only on seed +
   # saved val split, so the scores are the ones the dead segment owed).
+  # Guard against double-rescue: a segment that died AFTER its BLEU write
+  # landed (e.g. SEG_CAP_S expiry during the final save) advances completed()
+  # — rescuing it would append a DUPLICATE BLEU line and over-count the
+  # protocol by SEG_EPOCHS. Only rescue when the failed attempt did NOT
+  # advance the completed count from its launch-time value.
   mode=""
   if [ -n "${prev_failed:-}" ] && [ -z "${last_was_rescue:-}" ] \
      && [ -n "${last_seglog:-}" ] \
+     && [ "$done_n" -eq "${last_launch_done:--1}" ] \
      && grep -aq "pipeline fit (train+val epochs + ckpt)" "$last_seglog"; then
     mode="--bleu_only"
   fi
   last_was_rescue=$mode
+  last_launch_done=$done_n
   seglog="$OUT/segment_a${attempt}.log"
   last_seglog="$seglog"
   echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${mode:-${resume:-fresh}} -> $seglog"

@@ -39,6 +39,18 @@ _STUB = textwrap.dedent(
         time.sleep(600)
     if action == "hang":
         time.sleep(600)  # exceeds SEG_CAP_S; killed by timeout(1)
+    if action == "latewedge":
+        # the worst rescue trap: fit finished AND the contractual BLEU
+        # write landed, then the process died (e.g. SEG_CAP_S expiry in the
+        # final save). completed() has advanced — a --bleu_only rescue here
+        # would append a DUPLICATE BLEU line and over-count the protocol.
+        print("[phase] pipeline fit (train+val epochs + ckpt): 1.0s"
+              " (total 1.0s)", flush=True)
+        ep = sys.argv[sys.argv.index("--epochs") + 1]
+        os.makedirs(os.path.join(out, "epoch%s_stub.ckpt" % ep), exist_ok=True)
+        with open(os.path.join(out, "epoch%s_stub.txt" % ep), "a") as f:
+            f.write("BLEU-4 score: 0.1\\n")
+        time.sleep(600)  # killed by SEG_CAP_S
     if action == "evalwedge":
         # fit completed (epochs checkpointed, the phase line the supervisor
         # greps for landed) but the post-fit eval leg wedged: the watchdog
@@ -187,6 +199,24 @@ def test_evalwedge_recovers_with_bleu_only(tmp_path):
     assert "--bleu_only" not in argv[0] and "--bleu_only" not in argv[1]
     assert "--bleu_only" in argv[2]  # the rescue attempt
     assert "--bleu_only" not in argv[3]  # back to normal segments
+
+
+def test_no_rescue_when_bleu_write_already_landed(tmp_path):
+    # a segment killed AFTER its BLEU-4 write landed (SEG_CAP_S expiry in
+    # the final save) advanced completed() — the next attempt must be a
+    # normal segment, NOT a --bleu_only rescue that would append a
+    # duplicate BLEU line and over-count the protocol (ADVICE round-4)
+    proc, out = _run_supervisor(
+        tmp_path, ["latewedge", "ok"], epochs=2
+    )
+    assert proc.returncode == 0
+    assert "complete: 2/2 epochs" in proc.stdout
+    argv = (out / "argv.log").read_text().splitlines()
+    assert len(argv) == 2
+    assert "--bleu_only" not in argv[0] and "--bleu_only" not in argv[1]
+    # exactly one BLEU line per epoch — no duplicates
+    log = (out / "epoch1_stub.txt").read_text()
+    assert log.count("BLEU-4 score:") == 2
 
 
 def test_failed_rescue_falls_back_to_retrain(tmp_path):
