@@ -33,7 +33,13 @@ SEG_EPOCHS=${SEG_EPOCHS:-1}      # epochs per child segment: >1 amortizes the
                                  # run-name codec — all attempts of one
                                  # protocol must use the same SEG_EPOCHS.
 COOLDOWN=${COOLDOWN:-300}        # after a kill: let the tunnel recover
-SETTLE=${SETTLE:-60}             # after a clean exit: gentle redial gap
+SETTLE=${SETTLE:-300}            # after a clean exit: quiet gap before the
+                                 # next dial. Raised 60 -> 300 in round 5:
+                                 # ALL 4 gen2 v2 kills were start-of-train
+                                 # wedges whose dial came ~60 s after the
+                                 # previous client exited, while every
+                                 # >=300 s-gap dial succeeded (docs/PERF.md
+                                 # round-4 boundary-wedge section)
 STALL_S=${STALL_S:-420}          # watchdog fires after this many silent s
 DRAIN_STEPS=${DRAIN_STEPS:-500}  # in-epoch breather cadence (train.py
 DRAIN_SLEEP=${DRAIN_SLEEP:-0.5}  # DIC_DRAIN_*): long continuously-stepping
@@ -48,6 +54,16 @@ EXTRA=${EXTRA:---images 8091 --images30k 31783 --train_set_ratio 0.8 --bleu_draw
 POLL=${POLL:-30}                 # seconds between child liveness/stall checks
 CHILD=${CHILD:-scripts/run_correlated_world.py}  # segment driver (a stub
                                  # under test — tests/test_wedge_supervisor.py)
+PROBE=${PROBE:-1}                # after a FAILED attempt: health-probe the
+                                 # tunnel with a real jitted matmul in a
+                                 # sacrificial child before relaunching
+                                 # (CLAUDE.md recovery protocol — a light
+                                 # device-list probe passes on tunnels that
+                                 # then wedge the real job). A hung probe
+                                 # costs PROBE_S + cooldown, not a 425 s
+                                 # watchdog window. Empty disables (tests).
+PROBE_S=${PROBE_S:-95}
+PROBE_CMD=${PROBE_CMD:-"python -c \"import jax, jax.numpy as jnp; x = jnp.ones((256, 256)); print(jax.jit(lambda a: (a @ a).sum())(x))\""}
 GLOBAL_LR=${GLOBAL_LR:-}         # non-empty: schedule-correct segments — each
                                  # 1-epoch segment resumes the LR anneal (and
                                  # shuffle/key streams) at its global epoch
@@ -126,6 +142,23 @@ while :; do
   fi
   last_was_rescue=$mode
   last_launch_done=$done_n
+  if [ -n "$PROBE" ] && [ -n "${prev_failed:-}" ]; then
+    # The tunnel is suspect (previous attempt failed). Probe with a real
+    # jitted matmul — not jax.devices(), which passes on tunnels that then
+    # wedge the real job (observed 2026-08-20, gen1 rescue_a2) — and keep
+    # cooling down until a probe completes. Bounded: after 8 failed probes
+    # (~50 min) launch anyway rather than spin forever.
+    probes=0
+    until timeout "$PROBE_S" bash -c "$PROBE_CMD" >/dev/null 2>&1; do
+      probes=$((probes + 1))
+      echo "[supervisor] health probe $probes failed/hung — cooldown $COOLDOWN s"
+      if [ "$probes" -ge 8 ]; then
+        echo "[supervisor] $probes failed probes — launching anyway"
+        break
+      fi
+      sleep "$COOLDOWN"
+    done
+  fi
   seglog="$OUT/segment_a${attempt}.log"
   last_seglog="$seglog"
   echo "[supervisor] attempt $attempt: epoch $((done_n + 1))/$EPOCHS ${mode:-${resume:-fresh}} -> $seglog"

@@ -90,6 +90,7 @@ def _run_supervisor(tmp_path, plan, epochs, extra_env=None, timeout=120):
         SETTLE="0",
         SEG_CAP_S="5",
         STALL_S="3",
+        PROBE="",  # no tunnel health probes under test (no jax, no dials)
     )
     env.update(extra_env or {})
     proc = subprocess.run(
@@ -249,6 +250,32 @@ def test_relaunch_never_overwrites_prior_segment_logs(tmp_path):
     assert (out / "segment_a1.log").read_text() == "previous generation\n"
     assert (out / "segment_a3.log").read_text() == "previous generation\n"
     assert (out / "segment_a4.log").exists()
+
+
+def test_health_probe_gates_relaunch_after_failure(tmp_path):
+    # after a failed attempt the supervisor must health-probe the tunnel
+    # (PROBE_CMD) until one passes before relaunching; clean attempts are
+    # never probed (no extra dials on the healthy path). The stub probe
+    # fails twice, then passes.
+    out = tmp_path / "out"
+    out.mkdir()
+    probe = tmp_path / "probe.sh"
+    probe.write_text(
+        "#!/bin/bash\n"
+        f"n=$(cat {out}/probes.txt 2>/dev/null || echo 0)\n"
+        f"echo $((n + 1)) > {out}/probes.txt\n"
+        "[ $n -ge 2 ]\n"
+    )
+    proc, out = _run_supervisor(
+        tmp_path, ["stall", "ok"], epochs=1,
+        extra_env={"PROBE": "1", "PROBE_CMD": f"bash {probe}"},
+    )
+    assert proc.returncode == 0
+    assert "complete: 1/1 epochs" in proc.stdout
+    assert "health probe 1 failed" in proc.stdout
+    assert "health probe 2 failed" in proc.stdout
+    assert (out / "probes.txt").read_text().strip() == "3"  # 2 fail + 1 pass
+    assert (out / "calls.txt").read_text() == "2"
 
 
 def test_stop_sentinel_exits_cleanly(tmp_path):
