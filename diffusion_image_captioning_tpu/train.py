@@ -575,6 +575,28 @@ def _fit_epochs(
         # float() fetches cost ~minutes per epoch through the tunnel at
         # reference scale: ~1,000 val batches x 4 round trips).
         t_val = _time.monotonic()
+        if (
+            epoch == cfg.epoch_num - 1
+            and checkpoint_fn is not None
+            and not early_stopped
+        ):
+            # Overlap the final checkpoint's device->host fetch with the
+            # last epoch's val loop. The state is final once the train queue
+            # above drained, and the host copy of params + Adam moments is
+            # the dominant cost of checkpoint.save through the remote
+            # tunnel (~70 s of the 74 s save leg, docs/PERF.md round-4
+            # phase budget) — streaming it under the ~55-120 s val compute
+            # hides most of it. copy_to_host_async populates each
+            # jax.Array's cached host value, so save()'s np.asarray calls
+            # find the bytes already landed. If early stop fires ON this
+            # epoch the early-stop save uses this same state, so the
+            # prefetch pays either way; a run already early-stopped in a
+            # prior epoch writes no final checkpoint, hence the guard.
+            for leaf in jax.tree.leaves(
+                (state.trainable, state.frozen, state.opt_state, state.step)
+            ):
+                if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
+                    leaf.copy_to_host_async()
         vacc_dev = jnp.zeros((3,), jnp.float32)
         n_val = 0
         group = max(cfg.eval_loss_group, 1) if eval_group_step else 1

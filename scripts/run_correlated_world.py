@@ -92,6 +92,14 @@ def main() -> None:
                         "(trial_classification_free/: 1.0 / 0.3)")
     p.add_argument("--class_prob", type=float, default=0.2,
                    help="per-row text-cond dropout prob for CFG training")
+    p.add_argument("--refine_steps_eval", type=int, default=None,
+                   help="override Config.refine_steps_eval (reference-exact "
+                        "5, CLIP-DDPM.py:616) for sampler-step-sensitivity "
+                        "probes — NOT part of the run-name codec, so "
+                        "--bleu_only re-scores an existing checkpoint at a "
+                        "different refinement depth; point --out at a COPY "
+                        "of the run dir to keep off-protocol scores out of "
+                        "the contractual log")
     p.add_argument("--world_dir", default="/tmp/corrworld_ck")
     p.add_argument("--world30_dir", default="/tmp/corrworld30_ck")
     p.add_argument("--out", default=".")
@@ -155,6 +163,8 @@ def main() -> None:
         classifier_free_weight=args.class_weight,
         classifier_free_prob=args.class_prob,
     )
+    if args.refine_steps_eval is not None:
+        cfg = dataclasses.replace(cfg, refine_steps_eval=args.refine_steps_eval)
     sched_total = args.schedule_total or (
         args.epochs if args.global_schedule else 0
     )
