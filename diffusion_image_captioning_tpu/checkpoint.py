@@ -59,6 +59,8 @@ def save(
         "frozen": _stringify_keys(state.frozen),
         "opt_state": state.opt_state,
     }
+    if state.ema is not None:
+        payload["ema"] = _stringify_keys(state.ema)
     # Host-resident leaves: device arrays would record their sharding
     # (e.g. "TFRT_CPU_0" or a TPU mesh) in the checkpoint metadata, and a
     # template-less restore on a DIFFERENT backend then fails inside orbax
@@ -138,6 +140,18 @@ def _recover_swap(path: str) -> None:
         os.replace(path + ".new.meta.json", meta_live)
 
 
+def _ckpt_has_ema(path: str) -> bool:
+    """True if the saved payload carries a top-level EMA tree. The orbax
+    _METADATA manifest is JSON text naming every top-level key; probing it
+    avoids a structure-mismatch restore error when resuming a pre-EMA
+    checkpoint with Config.ema_decay on (or vice versa)."""
+    try:
+        with open(os.path.join(path, "_METADATA")) as f:
+            return '"ema"' in f.read()
+    except OSError:
+        return False
+
+
 def restore(
     name: str,
     directory: str = ".",
@@ -163,6 +177,16 @@ def restore(
             "frozen": _stringify_keys(template.frozen),
             "opt_state": template.opt_state,
         }
+        # EMA axis: the checkpoint and the template can each have or lack
+        # an EMA tree independently (ema_decay toggled across a resume).
+        # A saved EMA must appear in the target to restore cleanly — when
+        # the template doesn't track one, borrow the trainable partition's
+        # structure and drop the result; a template that wants EMA from a
+        # pre-EMA checkpoint is seeded from the restored params below.
+        if _ckpt_has_ema(path):
+            target["ema"] = _stringify_keys(
+                template.ema if template.ema is not None else template.trainable
+            )
         if skip_opt_state:
             # Best-effort partial restore: per-leaf ocp.PLACEHOLDER skips
             # reading the Adam mu/nu bytes (~2x the parameter size) that
@@ -205,11 +229,23 @@ def restore(
     val_idx = (
         np.asarray(meta["val_indices"], np.int64) if "val_indices" in meta else None
     )
+    trainable = _tuplify_keys(payload["trainable"])
+    ema = None
+    if template is not None and template.ema is None:
+        pass  # EMA not tracked this run; a restored tree (if any) is dropped
+    elif "ema" in payload:
+        ema = _tuplify_keys(payload["ema"])
+    elif template is not None and template.ema is not None:
+        # Resuming a pre-EMA checkpoint with ema_decay on: seed the average
+        # at the restored params. COPIES — aliased leaves would hand the
+        # donating train step the same buffer twice.
+        ema = {k: np.array(v) for k, v in trainable.items()}
     state = TrainState(
         step=payload["step"],
-        trainable=_tuplify_keys(payload["trainable"]),
+        trainable=trainable,
         frozen=_tuplify_keys(payload["frozen"]),
         opt_state=payload["opt_state"],
+        ema=ema,
     )
     return state, cfg, val_idx
 
@@ -221,7 +257,12 @@ def restore_params_only(name: str, directory: str, fresh_state: TrainState) -> T
     state, _, _ = restore(
         name, directory, template=fresh_state, skip_opt_state=True
     )
-    return fresh_state.replace(trainable=state.trainable, frozen=state.frozen)
+    # ema follows the restore()'s resolution: the saved tree when present,
+    # seeded from the restored params when the run tracks one and the
+    # checkpoint predates EMA, None when ema_decay is off.
+    return fresh_state.replace(
+        trainable=state.trainable, frozen=state.frozen, ema=state.ema
+    )
 
 
 # Orbax (StandardCheckpointer) requires string-keyed dicts; our param

@@ -174,6 +174,21 @@ class Config:
     # (measured on v5e); rbg is hardware-accelerated. Streams differ from
     # threefry but dropout only needs iid bits.
 
+    ema_decay: float = 0.0            # TPU extension: exponential moving
+    # average of the TRAINABLE params, updated on device inside the jitted
+    # train step (ema = d*ema + (1-d)*params — ~0.7 ms of pure HBM traffic
+    # per step at flagship shape; the frozen partition never moves so it is
+    # not tracked). 0 (default) disables — reference-exact: the reference
+    # keeps no EMA (CLIP-DDPM.py has no equivalent). When on, the
+    # checkpoint payload carries the EMA tree (old non-EMA checkpoints
+    # resume fine: the EMA re-seeds from the restored params) and the
+    # end-of-run BLEU leg ADDITIONALLY scores the EMA weights as an
+    # additive "BLEU-4 ema" log line — the contractual final "BLEU-4
+    # score:" line still scores the raw params. Motivated by the v2
+    # BLEU-swing investigation (docs/PERF.md round 5: checkpoint-to-
+    # checkpoint sample quality moves far more than val loss). NOT in the
+    # run-name codec.
+
     # --- TPU: schedule-correct segmented training (extension) ---
     # The reference's CONTINUE_TRAIN restarts the LR schedule from epoch 0
     # (CLIP-DDPM.py:505-508,520-522) — a 10-epoch run driven as 1-epoch

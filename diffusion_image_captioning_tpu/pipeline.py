@@ -244,6 +244,18 @@ def write_lm_demos(
     summary.flush()
 
 
+class _NullSummary:
+    """Write sink for auxiliary eval passes (e.g. the EMA BLEU leg) whose
+    scores go into the real log as additive lines — run_val_bleu's own
+    draws/score writes must not reach the contractual log twice."""
+
+    def write(self, *_args) -> None:
+        pass
+
+    def flush(self) -> None:
+        pass
+
+
 def run_val_bleu(
     summary,
     model,
@@ -606,6 +618,19 @@ def run_flickr_training(
         eval_wd.poke()
         _phase("demos")
         gt = flickr_data.captions_by_image(imgs, caps)
+        if state.ema is not None:
+            # EMA weights scored as an ADDITIVE line before the contractual
+            # final "BLEU-4 score:" (which must stay last, newline-less, and
+            # score the raw params — byte parity). Same val split, same key
+            # stream, so the two scores are directly comparable.
+            ema_bleu = run_val_bleu(
+                _NullSummary(), model, cfg,
+                tr.merge_params(state.ema, state.frozen),
+                val_b, tokenizer, gt, seed, watchdog=eval_wd,
+            )
+            summary.write(f"BLEU-4 ema (decay={cfg.ema_decay}): {ema_bleu}\n")
+            summary.flush()
+            _phase("ema BLEU")
         bleu = run_val_bleu(
             summary, model, cfg, params, val_b, tokenizer, gt, seed,
             watchdog=eval_wd,

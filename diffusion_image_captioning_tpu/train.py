@@ -76,6 +76,10 @@ class TrainState(struct.PyTreeNode):
     trainable: Any
     frozen: Any
     opt_state: Any
+    # Optional EMA of the trainable partition (Config.ema_decay > 0); None
+    # when disabled — None is an empty pytree, so every existing jit/donate/
+    # sharding path is unchanged when off.
+    ema: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -97,6 +101,9 @@ def init_train_state(cfg: Config, params, tx: optax.GradientTransformation) -> T
         trainable=trainable,
         frozen=frozen,
         opt_state=tx.init(trainable),
+        # Seeded as a COPY: aliasing the trainable buffers would hand the
+        # donating train step the same buffer twice.
+        ema=jax.tree.map(jnp.array, trainable) if cfg.ema_decay > 0 else None,
     )
 
 
@@ -291,10 +298,18 @@ def make_train_step(
             grads = jax.lax.optimization_barrier(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.trainable)
         trainable = optax.apply_updates(state.trainable, updates)
+        ema = state.ema
+        if cfg.ema_decay > 0:
+            # Pure elementwise HBM traffic; XLA fuses it into the update.
+            d = jnp.asarray(cfg.ema_decay, jnp.float32)
+            ema = jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d), state.ema, trainable
+            )
         new_state = state.replace(
             step=state.step + 1,
             trainable=trainable,
             opt_state=opt_state,
+            ema=ema,
         )
         return new_state, metrics
 
@@ -593,7 +608,8 @@ def _fit_epochs(
             # prefetch pays either way; a run already early-stopped in a
             # prior epoch writes no final checkpoint, hence the guard.
             for leaf in jax.tree.leaves(
-                (state.trainable, state.frozen, state.opt_state, state.step)
+                (state.trainable, state.frozen, state.opt_state, state.step,
+                 state.ema)
             ):
                 if isinstance(leaf, jax.Array) and leaf.is_fully_addressable:
                     leaf.copy_to_host_async()

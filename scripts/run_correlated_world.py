@@ -92,6 +92,10 @@ def main() -> None:
                         "(trial_classification_free/: 1.0 / 0.3)")
     p.add_argument("--class_prob", type=float, default=0.2,
                    help="per-row text-cond dropout prob for CFG training")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="track an EMA of the trainable params on device and "
+                        "log an additive 'BLEU-4 ema' line at each segment "
+                        "end (Config.ema_decay; 0 = off, reference-exact)")
     p.add_argument("--refine_steps_eval", type=int, default=None,
                    help="override Config.refine_steps_eval (reference-exact "
                         "5, CLIP-DDPM.py:616) for sampler-step-sensitivity "
@@ -162,6 +166,7 @@ def main() -> None:
         end_learning_rate=args.end_lr,
         classifier_free_weight=args.class_weight,
         classifier_free_prob=args.class_prob,
+        ema_decay=args.ema_decay,
     )
     if args.refine_steps_eval is not None:
         cfg = dataclasses.replace(cfg, refine_steps_eval=args.refine_steps_eval)
