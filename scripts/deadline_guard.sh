@@ -32,8 +32,11 @@ REPORT=${REPORT:-runs/quiet_check.json}
 QUIET_SAMPLE_S=${QUIET_SAMPLE_S:-10}
 POLL=${POLL:-15}
 
-lo_bytes() {  # rx+tx byte counters on the loopback interface
-  awk '$1 == "lo:" {print $2 + $10}' /proc/net/dev
+lo_bytes() {  # rx+tx byte counters on the loopback interface. printf %.0f:
+  # awk's default %.6g OFMT renders sums >~1e6 in exponential notation
+  # ("9.74691e+10" after a day of tunnel traffic), which breaks bash
+  # arithmetic — caught by the full-suite run at 16:09 after 48 GB on lo.
+  awk '$1 == "lo:" {printf "%.0f", $2 + $10}' /proc/net/dev
 }
 
 is_alive() {  # alive and not a zombie (an unreaped child passes kill -0)
