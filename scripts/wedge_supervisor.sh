@@ -192,6 +192,11 @@ while :; do
   fi
 done
 
+# Remove the pid file once no child is live: pid_max is 32768 here, so a
+# stale segment.pid can come to name an unrelated recycled process — and
+# deadline_guard.sh kills process GROUPS by these files.
+rm -f "$OUT/segment.pid"
+
 wall_total=$(grep -ah "^wall: " "$OUT"/segment_a*.log 2>/dev/null |
              awk '{s += $2} END {printf "%.0f", s}')
 echo "[supervisor] sum of segment walls: ${wall_total:-?} s (excludes cooldowns)"
