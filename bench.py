@@ -1,7 +1,11 @@
 """Headline benchmark: flagship training-step throughput on TPU.
 
-Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extras": {...}}
+Prints ONE compact JSON line (<= MAX_FINAL_LINE_BYTES — the driver tails
+stdout and parses the last line, and round-3's fat line broke that):
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "matmul_mfu_pct": N, "extras_file": "runs/bench_extras.json"}
+The full blob (same headline fields + every secondary claim under
+"extras") is written to the extras_file the line points at.
 
 Baseline: the reference trains Flickr8k for 15 epochs in 5 h on one A30
 (README.md:15) at ~4,045 optimizer steps/epoch (batch 8, 0.8 x 40,455
@@ -55,6 +59,71 @@ def _combined_epoch_walls(out_dir: str):
         )
     except Exception:
         return []
+
+
+def _parity_lines(run_dir: str) -> list:
+    """Contract lines (epoch averages + BLEU) of a run dir's codec-named
+    log, for deriving A/B byte-identity claims at bench time."""
+    import glob
+    import re
+
+    logs = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                run_dir,
+                "epoch*_*.txt",
+            )
+        )
+    )
+    if not logs:
+        return []
+    with open(logs[-1], "rb") as f:
+        text = f.read().decode("utf-8", "replace")
+    return re.findall(r"^(?:epoch \d+ average .*|BLEU-4 .*)$", text, re.M)
+
+
+# The driver tails stdout and json-parses the LAST line; round-3's line
+# grew past its capture (BENCH_r03 parsed:null). The final line is now a
+# compact summary under this cap, with every secondary claim written to
+# the extras file it points at (VERDICT round-3 next #1).
+MAX_FINAL_LINE_BYTES = 500
+
+
+def final_line(compact: dict, extras_file: str | None) -> str:
+    """One compact JSON line, <= MAX_FINAL_LINE_BYTES. Fixed keys and
+    bounded numbers keep it ~250 B structurally; the cap is contractual,
+    so least-important optional keys are dropped if it would ever
+    overflow."""
+    d = dict(compact)
+    if extras_file is not None:
+        d["extras_file"] = extras_file
+    line = json.dumps(d)
+    for k in (
+        "sampler_ancestral100_ms_b64",
+        "combined_vs_a30",
+        "matmul_mfu_pct",
+        "unit",
+    ):
+        if len(line.encode()) <= MAX_FINAL_LINE_BYTES:
+            break
+        d.pop(k, None)
+        line = json.dumps(d)
+    return line
+
+
+def write_extras(payload: dict, path: str | None = None) -> str:
+    """Write the full bench blob next to the compact line's pointer.
+    Returns the repo-relative path recorded in the final line."""
+    rel = path or os.environ.get(
+        "BENCH_EXTRAS_FILE", os.path.join("runs", "bench_extras.json")
+    )
+    abs_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), rel)
+    os.makedirs(os.path.dirname(abs_path), exist_ok=True)
+    with open(abs_path, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    return rel
 
 
 def _parse_mesh_arg() -> dict | None:
@@ -343,26 +412,42 @@ def main() -> None:
                 61.5 - sum(_saves) / len(_saves) if _saves else 0.0
             )
             _recomputed = sum(_v2_walls) - len(_v2_walls) * _save_delta
+            # Byte-identity of the A/B claim is DERIVED at bench time by
+            # diffing the contract lines (epoch averages + BLEU) of the two
+            # codec-named logs over their shared prefix — a hardcoded True
+            # could silently drift from the committed artifacts (ADVICE
+            # round-3).
+            _pl21 = _parity_lines("runs_combined_v21")
+            _pl2 = _parity_lines("runs_combined_v2")
+            _shared = min(len(_pl21), len(_pl2))
             extras["combined_protocol_v21_ab"] = {
                 "segment_walls_s": [round(w) for _, w, _ in _v21],
                 "v2_counterpart_walls_s": [
                     round(w) for w in _v2_walls[: len(_v21)]
                 ],
                 "save_final_s": _saves,
-                "byte_identical_losses_and_bleu": True,
-                "recomputed_10ep_wall_s": round(_recomputed),
-                "recomputed_vs_a30": round(39600 / _recomputed, 2),
+                "byte_identical_losses_and_bleu": bool(
+                    _shared and _pl21[:_shared] == _pl2[:_shared]
+                ),
                 "artifact": "runs_combined_v21/README.md",
             }
+            if _recomputed > 0:
+                extras["combined_protocol_v21_ab"].update(
+                    recomputed_10ep_wall_s=round(_recomputed),
+                    recomputed_vs_a30=round(39600 / _recomputed, 2),
+                )
         _grid = {}
         for _arm_dir in sorted(_glob.glob("runs/trial_grid/*/")):
             _arm = os.path.basename(_arm_dir.rstrip("/"))
             if not os.path.exists(os.path.join(_arm_dir, "DONE")):
                 continue
-            _logs = _glob.glob(os.path.join(_arm_dir, "epoch*_*.txt"))
+            # sorted + last by name: an arm dir re-run at a different epoch
+            # count accumulates several codec logs, and an unsorted glob
+            # makes the reported BLEU nondeterministic (ADVICE round-3).
+            _logs = sorted(_glob.glob(os.path.join(_arm_dir, "epoch*_*.txt")))
             if not _logs:
                 continue
-            with open(_logs[0], "rb") as _f:
+            with open(_logs[-1], "rb") as _f:
                 _t = _f.read().decode("utf-8", "replace")
             _d = _re.findall(
                 r"BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", _t
@@ -383,18 +468,56 @@ def main() -> None:
                 "orderings_total": max(len(_grid) - 1, 0),
                 "artifact": "runs/trial_grid/README.md",
             }
+        # v3 of the combined protocol (round 6): 5-epoch schedule-correct
+        # segments + tuned EMA — segment length parsed from the codec name
+        # (epoch<seg>_*), walls from the committed segment logs.
+        _v3 = _combined_epoch_walls("runs_combined_v3")
+        _v3_logs = sorted(_glob.glob("runs_combined_v3/epoch*_*.txt"))
+        if _v3 and _v3_logs:
+            _se = int(
+                _re.match(r"epoch(\d+)_", os.path.basename(_v3_logs[-1])).group(1)
+            )
+            _v3_walls = [w for _, w, _ in _v3]
+            _v3_ep = _se * len(_v3_walls)
+            if _v3_ep and sum(_v3_walls) > 0:
+                extras["combined_protocol_v3_wall"] = {
+                    "segments_completed": len(_v3_walls),
+                    "seg_epochs": _se,
+                    "epochs_completed": _v3_ep,
+                    "segment_walls_s": [round(w) for w in _v3_walls],
+                    "lower_bound_segments": [
+                        rel for rel, _, exact in _v3 if not exact
+                    ],
+                    "wall_s_measured_sum": round(sum(_v3_walls)),
+                    "wall_10ep_s": round(sum(_v3_walls) * 10.0 / _v3_ep),
+                    "a30_wall_s": 39600,
+                    "vs_a30_end_to_end": round(
+                        39600 * _v3_ep / (10.0 * sum(_v3_walls)), 2
+                    ),
+                    "artifact": "runs_combined_v3/README.md",
+                }
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_steps_per_sec_flagship",
-                "value": round(steps_per_sec, 4),
-                "unit": "optimizer steps/s (effective batch 800, DistilBERT-base denoiser)",
-                "vs_baseline": round(steps_per_sec / A30_STEPS_PER_SEC, 3),
-                "extras": extras,
-            }
-        )
-    )
+    compact = {
+        "metric": "train_steps_per_sec_flagship",
+        "value": round(steps_per_sec, 4),
+        "unit": "optimizer steps/s (effective batch 800, DistilBERT-base denoiser)",
+        "vs_baseline": round(steps_per_sec / A30_STEPS_PER_SEC, 3),
+    }
+    if "matmul_mfu_pct" in extras:
+        compact["matmul_mfu_pct"] = extras["matmul_mfu_pct"]
+    if "ancestral100_ms_b64" in extras:
+        compact["sampler_ancestral100_ms_b64"] = extras["ancestral100_ms_b64"]
+    # Best available end-to-end combined claim (v3 protocol > v2.1 A/B).
+    for _k, _f in (
+        ("combined_protocol_v3_wall", "vs_a30_end_to_end"),
+        ("combined_protocol_v21_ab", "recomputed_vs_a30"),
+    ):
+        _v = extras.get(_k, {}).get(_f)
+        if _v is not None:
+            compact["combined_vs_a30"] = _v
+            break
+    rel = write_extras(dict(compact, extras=extras))
+    print(final_line(compact, rel))
 
 
 def bench_eval_leg(model, cfg, state):

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import sys
 from typing import Optional
 
 import jax
@@ -149,7 +150,16 @@ def _ckpt_has_ema(path: str) -> bool:
         with open(os.path.join(path, "_METADATA")) as f:
             return '"ema"' in f.read()
     except OSError:
-        return False
+        # Manifest layout changed (future orbax) or unreadable: ask the
+        # public metadata API before concluding "no EMA" — a false negative
+        # here silently re-seeds EMA from raw params, discarding the saved
+        # average (ADVICE round-3).
+        try:
+            meta = ocp.StandardCheckpointer().metadata(path)
+            tree = getattr(meta, "item_metadata", None) or meta
+            return "ema" in getattr(tree, "keys", lambda: ())()
+        except Exception:
+            return False
 
 
 def restore(
@@ -238,7 +248,15 @@ def restore(
     elif template is not None and template.ema is not None:
         # Resuming a pre-EMA checkpoint with ema_decay on: seed the average
         # at the restored params. COPIES — aliased leaves would hand the
-        # donating train step the same buffer twice.
+        # donating train step the same buffer twice. Loud on purpose: if the
+        # has-EMA probe false-negatived, this is where the saved average
+        # would be silently discarded (ADVICE round-3).
+        print(
+            f"WARNING: checkpoint {path} carries no EMA tree — seeding EMA "
+            "from the restored raw params (expected only when resuming a "
+            "pre-EMA checkpoint with ema_decay newly enabled)",
+            file=sys.stderr,
+        )
         ema = {k: np.array(v) for k, v in trainable.items()}
     state = TrainState(
         step=payload["step"],

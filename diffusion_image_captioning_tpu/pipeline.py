@@ -436,6 +436,19 @@ def run_flickr_bleu_only(
         label="eval",
     ).start()
     try:
+        if state.ema is not None:
+            # Rescue parity with run_flickr_training: an unwedged
+            # ema_decay>0 segment writes the additive "BLEU-4 ema" line
+            # before the contractual raw "BLEU-4 score:" — the --bleu_only
+            # recovery must append the SAME lines or a rescued segment
+            # permanently lacks its EMA score (ADVICE round-3, medium).
+            ema_bleu = run_val_bleu(
+                _NullSummary(), model, cfg,
+                tr.merge_params(state.ema, state.frozen),
+                val_b, tokenizer, gt, seed, watchdog=eval_wd,
+            )
+            summary.write(f"BLEU-4 ema (decay={cfg.ema_decay}): {ema_bleu}\n")
+            summary.flush()
         bleu = run_val_bleu(
             summary, model, cfg, params, val_b, tokenizer, gt, seed,
             watchdog=eval_wd,

@@ -92,6 +92,22 @@ def main() -> None:
                         "(trial_classification_free/: 1.0 / 0.3)")
     p.add_argument("--class_prob", type=float, default=0.2,
                    help="per-row text-cond dropout prob for CFG training")
+    p.add_argument("--train_embedding", type=int, default=0,
+                   help="1: learn 16-d embeddings + in/out projections over "
+                        "a DictTokenizer vocab built from the captions "
+                        "(trial_train_embedding/; reference TRAIN_EMBEDDING, "
+                        "CLIP-DDPM.py:202-207)")
+    p.add_argument("--dict_char_slice", type=int, default=0,
+                   help="1: reproduce the reference's DictTokenizer "
+                        "character-slice quirk (CLIP-DDPM.py:184) — only "
+                        "meaningful with --train_embedding 1")
+    p.add_argument("--dynamic_rounding_weight", type=float, default=-1,
+                   help="dynamic lambda: after every batch, lambda is "
+                        "re-fit to this multiple of the running "
+                        "(x_t+x_1)/prob loss-sum ratio, keeping the rounding "
+                        "term commensurate with the diffusion terms "
+                        "(trial_rounding_weight/ dynamic1/dynamic3; "
+                        "reference CLIP-DDPM.py:535-536; -1 = off)")
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="track an EMA of the trainable params on device and "
                         "log an additive 'BLEU-4 ema' line at each segment "
@@ -167,6 +183,9 @@ def main() -> None:
         classifier_free_weight=args.class_weight,
         classifier_free_prob=args.class_prob,
         ema_decay=args.ema_decay,
+        train_embedding=bool(args.train_embedding),
+        dict_char_slice=bool(args.dict_char_slice),
+        dynamic_rounding_weight=args.dynamic_rounding_weight,
     )
     if args.refine_steps_eval is not None:
         cfg = dataclasses.replace(cfg, refine_steps_eval=args.refine_steps_eval)

@@ -27,7 +27,13 @@ BASE=${BASE:---images 8091 --train_set_ratio 0.8 --bleu_draws 3 \
 # Ordered by scientific contrast (reference BLEU deltas vs baseline 0.1876):
 # add 0.1033, xt100 0.1575, round05 0.2193-on-combined/λ ordering,
 # cfg_w1 0.1395, cosine 0.1848, logspace 0.1699/0.1643, cfg_w03 0.0759.
-ARMS=${ARMS:-baseline add xt100 round05 cfg_w1 cosine logspace cfg_w03}
+# train_embed + dynamic1 (round 6) cover the two reference trial axes the
+# 8-arm grid skipped — their reference logs end WITHOUT BLEU lines
+# (trial_train_embedding/, trial_rounding_weight/*dynamic1*), so no
+# ordering claim is possible; the deliverable is a wedge-free at-scale run
+# with a qualitatively sane loss trajectory. Both reference logs use a
+# CONSTANT lr 1e-4 (codec lr1E-04-1E-04), matched here via --end_lr.
+ARMS=${ARMS:-baseline add xt100 round05 cfg_w1 cosine logspace cfg_w03 train_embed dynamic1}
 
 arm_flags() {
   case "$1" in
@@ -39,6 +45,8 @@ arm_flags() {
     logspace) echo "--scheduler logspace" ;;
     cfg_w1)   echo "--class_weight 1.0" ;;
     cfg_w03)  echo "--class_weight 0.3" ;;
+    train_embed) echo "--train_embedding 1 --end_lr 1e-4" ;;
+    dynamic1) echo "--dynamic_rounding_weight 1 --end_lr 1e-4" ;;
     *)        echo "[grid] unknown arm: $1" >&2; return 1 ;;
   esac
 }
