@@ -197,6 +197,10 @@ def main() -> None:
     avgs = re.findall(r"epoch \d+ average [^:]*: (.*)$", text, re.M)
     bleus = [float(x) for x in re.findall(r"^BLEU-4 score: ([\d.]+)", text, re.M)]
     draws = re.findall(r"^BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", text, re.M)
+    # Additive EMA score lines (Config.ema_decay > 0): one per segment,
+    # written BEFORE that segment's raw "BLEU-4 score:" line.
+    emas = [float(x) for x in re.findall(
+        r"^BLEU-4 ema \(decay=[^)]*\): ([\d.]+)", text, re.M)]
 
     n = len(avgs) or len(bleus)
     nseg = len(bleus)
@@ -223,6 +227,9 @@ def main() -> None:
             k = seg - (nseg - len(draws))
             if 0 <= k < len(draws):
                 dr = f" (K-draw mean {draws[k][0]} sd {draws[k][1]})"
+            ke = seg - (nseg - len(emas))
+            if 0 <= ke < len(emas):
+                dr += f" (ema {emas[ke]:.4f})"
         if i < len(avgs):
             tr = [f"{float(x):.3f}" for x in avgs[i].split(", ")[:3]]
             avg = "train x_t/x_1/prob = " + "/".join(tr)
