@@ -99,15 +99,23 @@ def final_line(compact: dict, extras_file: str | None) -> str:
     if extras_file is not None:
         d["extras_file"] = extras_file
     line = json.dumps(d)
+    # Shed least-important first: the constant descriptive 'unit' string
+    # goes before any number; matmul_mfu_pct (driver-required, round-3
+    # verdict) is only ever shed as the final numeric (ADVICE round-4).
     for k in (
+        "unit",
         "sampler_ancestral100_ms_b64",
         "combined_vs_a30",
         "matmul_mfu_pct",
-        "unit",
     ):
         if len(line.encode()) <= MAX_FINAL_LINE_BYTES:
             break
         d.pop(k, None)
+        line = json.dumps(d)
+    if len(line.encode()) > MAX_FINAL_LINE_BYTES:
+        # Last resort for a pathological compact dict: the extras pointer
+        # is recoverable from BENCH_EXTRAS_FILE / the default path.
+        d.pop("extras_file", None)
         line = json.dumps(d)
     return line
 
@@ -477,12 +485,29 @@ def main() -> None:
             _se = int(
                 _re.match(r"epoch(\d+)_", os.path.basename(_v3_logs[-1])).group(1)
             )
+            # Per-segment epoch counts from each segment log's phase lines —
+            # segments need not share a length (e.g. a shorter remainder
+            # segment); a uniform _se * nseg would silently mis-scale
+            # epochs_completed and vs_a30_end_to_end (ADVICE round-4).
+            _v3_seg_eps = []
+            for _rel, _, _ in _v3:
+                try:
+                    with open(
+                        os.path.join("runs_combined_v3", _rel), "rb"
+                    ) as _sf:
+                        _sd = _sf.read().decode("utf-8", "replace")
+                    _n_ep = len(
+                        _re.findall(r"^\[phase\] epoch \d+: train ", _sd, _re.M)
+                    )
+                except OSError:
+                    _n_ep = 0
+                _v3_seg_eps.append(_n_ep or _se)
             _v3_walls = [w for _, w, _ in _v3]
-            _v3_ep = _se * len(_v3_walls)
+            _v3_ep = sum(_v3_seg_eps)
             if _v3_ep and sum(_v3_walls) > 0:
                 extras["combined_protocol_v3_wall"] = {
                     "segments_completed": len(_v3_walls),
-                    "seg_epochs": _se,
+                    "seg_epochs": _v3_seg_eps,
                     "epochs_completed": _v3_ep,
                     "segment_walls_s": [round(w) for w in _v3_walls],
                     "lower_bound_segments": [

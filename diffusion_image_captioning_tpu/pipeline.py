@@ -442,13 +442,40 @@ def run_flickr_bleu_only(
             # before the contractual raw "BLEU-4 score:" — the --bleu_only
             # recovery must append the SAME lines or a rescued segment
             # permanently lacks its EMA score (ADVICE round-3, medium).
-            ema_bleu = run_val_bleu(
-                _NullSummary(), model, cfg,
-                tr.merge_params(state.ema, state.frozen),
-                val_b, tokenizer, gt, seed, watchdog=eval_wd,
-            )
-            summary.write(f"BLEU-4 ema (decay={cfg.ema_decay}): {ema_bleu}\n")
-            summary.flush()
+            #
+            # But not twice: if a PREVIOUS rescue attempt landed the ema
+            # line and then wedged during the raw leg, re-writing it here
+            # would leave two ema lines for one segment and shift
+            # combined_summary's end-aligned ema->segment mapping off by
+            # one for every earlier segment (ADVICE round-4). A trailing
+            # ema line not yet followed by a raw "BLEU-4 score:" means
+            # this segment's ema leg already completed — skip to raw.
+            ema_done = False
+            try:
+                with open(summary.path, encoding="utf-8") as _f:
+                    _text = _f.read()
+                _last = _text.rfind("BLEU-4 ema")
+                ema_done = (
+                    _last >= 0 and "BLEU-4 score:" not in _text[_last:]
+                )
+            except OSError:
+                pass
+            if ema_done:
+                print(
+                    "[bleu_only] trailing 'BLEU-4 ema' line already present "
+                    "without a raw score — skipping the EMA leg",
+                    file=sys.stderr, flush=True,
+                )
+            else:
+                ema_bleu = run_val_bleu(
+                    _NullSummary(), model, cfg,
+                    tr.merge_params(state.ema, state.frozen),
+                    val_b, tokenizer, gt, seed, watchdog=eval_wd,
+                )
+                summary.write(
+                    f"BLEU-4 ema (decay={cfg.ema_decay}): {ema_bleu}\n"
+                )
+                summary.flush()
         bleu = run_val_bleu(
             summary, model, cfg, params, val_b, tokenizer, gt, seed,
             watchdog=eval_wd,
@@ -513,6 +540,20 @@ def run_flickr_training(
     _phase("data")
     n = len(caps)
 
+    # Sub-splits of the 63.5 s "model init + restore" leg (VERDICT round-4
+    # next #4): separate timer so the existing leg-total line (quoted in
+    # README/PERF tables) keeps its meaning.
+    _init_t = [_time.monotonic()]
+
+    def _init_sub(label: str) -> None:
+        if phase_times:
+            now = _time.monotonic()
+            print(
+                f"[phase] init sub {label}: {now - _init_t[0]:.1f}s",
+                file=sys.stderr, flush=True,
+            )
+            _init_t[0] = now
+
     if cfg.continue_train:
         val_idx = ck.load_val_indices(name, out_dir)
         train_idx = np.setdiff1d(np.arange(n), val_idx)
@@ -534,8 +575,10 @@ def run_flickr_training(
     # global epoch position (no-op at the reference-semantics default 0).
     train_b.advance_epochs(cfg.schedule_offset_epochs)
     val_b = Batcher(columns, val_idx, cfg.batch_size, shuffle=False)
+    _init_sub("split+batchers")
 
     model, params = init_denoiser(cfg, jax.random.PRNGKey(seed))
+    _init_sub("init_denoiser")
     params, loaded = load_pretrained_embedding(
         params, assets_dir and os.path.join(assets_dir, "distilbert-base-uncased-local")
     )
@@ -549,6 +592,7 @@ def run_flickr_training(
         print(msg, file=sys.stderr)
     tx = tr.make_optimizer(cfg)
     state = tr.init_train_state(cfg, params, tx)
+    _init_sub("opt+state init")
     if cfg.continue_train:
         if cfg.schedule_offset_epochs or cfg.schedule_total_epochs:
             # Schedule-correct segment: resume the FULL training state
@@ -559,6 +603,7 @@ def run_flickr_training(
             state, _, _ = ck.restore(name, out_dir, template=state)
         else:
             state = ck.restore_params_only(name, out_dir, state)
+        _init_sub("ckpt restore")
 
     # Multi-chip training (SURVEY section 2.14; new capability): when the
     # config asks for a real mesh, initialize multi-host if applicable,

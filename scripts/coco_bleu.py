@@ -109,6 +109,11 @@ def main() -> None:
             acc += eval_bleu.bleu_corpus([cand], [refs])
             n_images += 1
 
+    # True-count divisor (COCO_BLEU.py:265-268 protocol): the zero-padded
+    # ragged tail rows are never scored — surface the count so callers
+    # (and tests) can verify it matches the annotation set, not the padded
+    # batch total.
+    print(f"[coco] scored {n_images} images", file=sys.stderr)
     print(acc / max(n_images, 1))
 
 

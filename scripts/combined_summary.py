@@ -195,12 +195,19 @@ def main() -> None:
     # NOT ^-anchored: the unterminated "BLEU-4 score: X" (reference byte
     # parity) glues the next segment's first epoch line onto it.
     avgs = re.findall(r"epoch \d+ average [^:]*: (.*)$", text, re.M)
-    bleus = [float(x) for x in re.findall(r"^BLEU-4 score: ([\d.]+)", text, re.M)]
-    draws = re.findall(r"^BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", text, re.M)
+    # Float captures accept an exponent suffix: a tiny early score prints
+    # as e.g. 6.5e-05 and a bare [\d.]+ silently truncates it to 6.5
+    # (ADVICE round-4).
+    _FLOAT = r"(\d+(?:\.\d+)?(?:[eE][-+]?\d+)?)"
+    bleus = [float(x) for x in re.findall(
+        r"^BLEU-4 score: " + _FLOAT, text, re.M)]
+    draws = re.findall(
+        r"^BLEU-4 draws \(n=\d+\): mean " + _FLOAT + " sd " + _FLOAT,
+        text, re.M)
     # Additive EMA score lines (Config.ema_decay > 0): one per segment,
     # written BEFORE that segment's raw "BLEU-4 score:" line.
     emas = [float(x) for x in re.findall(
-        r"^BLEU-4 ema \(decay=[^)]*\): ([\d.]+)", text, re.M)]
+        r"^BLEU-4 ema \(decay=[^)]*\): " + _FLOAT, text, re.M)]
 
     n = len(avgs) or len(bleus)
     nseg = len(bleus)

@@ -58,7 +58,8 @@ ORDERINGS = [
 # the 7 gating checks above are all baseline-vs-arm, which silently scoped
 # out the reference's cosine>logspace and w1>w0.3 internal rankings — both
 # of which REVERSE on the 5-epoch surrogate). Each entry is
-# (label, lhs, rhs, reference_agrees_when_lhs_gt_rhs).
+# (label, lhs, rhs); the reference agrees when lhs > rhs, and the expected
+# direction is spelled out in the label itself (ADVICE round-4).
 WITHIN_AXIS = [
     ("cosine > logspace (reference: 0.1848 > 0.1699/0.1643)",
      "cosine", "logspace"),

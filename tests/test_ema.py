@@ -141,3 +141,66 @@ class TestCheckpoint:
         name = self._save(state, EMA_CFG, tmp_path)
         got = ck.restore_params_only(name, str(tmp_path), _state(params, tx))
         assert got.ema is not None
+
+
+class TestHasEmaProbe:
+    """_ckpt_has_ema probe ordering (VERDICT round-4 weak #3): the PUBLIC
+    orbax metadata API is primary; the raw '"ema"' substring match on the
+    private _METADATA manifest is only the fallback. A future orbax that
+    keeps the manifest file but re-encodes its keys must not silently
+    report "no EMA" (that re-seeds EMA from raw params, discarding the
+    saved average)."""
+
+    def _saved_ema_ckpt(self, setup, tmp_path):
+        from diffusion_image_captioning_tpu.config import model_name
+
+        _, params, tx = setup
+        state = _state(params, tx)
+        name = model_name(EMA_CFG)
+        ck.save(state, EMA_CFG, name, str(tmp_path))
+        return ck._ckpt_dir(str(tmp_path), name)
+
+    def test_real_checkpoints_both_ways(self, setup, tmp_path):
+        path = self._saved_ema_ckpt(setup, tmp_path)
+        assert ck._ckpt_has_ema(path) is True
+        _, params, tx = setup
+        from diffusion_image_captioning_tpu.config import model_name
+
+        plain = _state(params, tx, cfg=TINY)
+        pname = model_name(TINY)
+        ck.save(plain, TINY, pname, str(tmp_path))
+        assert ck._ckpt_has_ema(ck._ckpt_dir(str(tmp_path), pname)) is False
+
+    def test_key_renamed_manifest_api_wins(self, setup, tmp_path, monkeypatch):
+        # Fake the future-orbax scenario: _METADATA survives but its key
+        # encoding drops the literal '"ema"' bytes, while the public
+        # metadata API still answers correctly. The probe must trust the
+        # API, not the stale substring.
+        import os
+
+        path = self._saved_ema_ckpt(setup, tmp_path)
+        manifest = os.path.join(path, "_METADATA")
+        with open(manifest, encoding="utf-8") as f:
+            text = f.read()
+        assert '"ema"' in text
+        with open(manifest, "w", encoding="utf-8") as f:
+            f.write(text.replace('"ema"', '"\\u0065ma"'))
+
+        class _FakeMeta:
+            item_metadata = {"step": 0, "trainable": {}, "ema": {}}
+
+        monkeypatch.setattr(
+            ck.ocp.StandardCheckpointer,
+            "metadata",
+            lambda self, p: _FakeMeta(),
+        )
+        assert ck._ckpt_has_ema(path) is True
+
+    def test_api_failure_falls_back_to_manifest(self, setup, tmp_path, monkeypatch):
+        path = self._saved_ema_ckpt(setup, tmp_path)
+
+        def _boom(self, p):
+            raise RuntimeError("metadata API unavailable")
+
+        monkeypatch.setattr(ck.ocp.StandardCheckpointer, "metadata", _boom)
+        assert ck._ckpt_has_ema(path) is True
