@@ -466,14 +466,23 @@ def main() -> None:
                 }
         if _grid:
             _base = _grid.get("baseline", {}).get("bleu")
+            # Ordering claims exist only for arms whose REFERENCE logs end
+            # with a BLEU score (trial_grid_summary.py GATING list). The
+            # round-6 train_embed/dynamic1/char-slice arms are wedge-free
+            # at-scale runs on axes whose reference logs carry no BLEU —
+            # counting them here would silently dilute the 7/7 claim.
+            _gated = {
+                "add", "xt100", "round05", "cfg_w1",
+                "cosine", "logspace", "cfg_w03",
+            }
             extras["trial_grid"] = {
                 "arms": _grid,
                 "orderings_reproduced": sum(
                     1 for _a, _r in _grid.items()
-                    if _a != "baseline" and _base is not None
+                    if _a in _gated and _base is not None
                     and _base > _r["bleu"]
                 ),
-                "orderings_total": max(len(_grid) - 1, 0),
+                "orderings_total": len(_gated & set(_grid)),
                 "artifact": "runs/trial_grid/README.md",
             }
         # v3 of the combined protocol (round 6): 5-epoch schedule-correct

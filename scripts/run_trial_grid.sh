@@ -46,6 +46,12 @@ arm_flags() {
     cfg_w1)   echo "--class_weight 1.0" ;;
     cfg_w03)  echo "--class_weight 0.3" ;;
     train_embed) echo "--train_embedding 1 --end_lr 1e-4" ;;
+    # Quirk-ON variant of train_embed (VERDICT round-4 next #2): the
+    # reference's trial_train_embedding logs were produced WITH the
+    # DictTokenizer character-slice bug (CLIP-DDPM.py:184), so only this
+    # arm's trajectory is apples-to-apples with the reference shape; the
+    # quirk-off arm isolates what the bug costs.
+    train_embed_slice) echo "--train_embedding 1 --dict_char_slice 1 --end_lr 1e-4" ;;
     dynamic1) echo "--dynamic_rounding_weight 1 --end_lr 1e-4" ;;
     *)        echo "[grid] unknown arm: $1" >&2; return 1 ;;
   esac
