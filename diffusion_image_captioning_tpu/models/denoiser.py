@@ -23,6 +23,7 @@ optax.multi_transform partition in train.py.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
@@ -198,5 +199,26 @@ def init_denoiser(
     clip = jnp.zeros((N, 1, cfg.clip_dim), jnp.float32)
     mask = jnp.ones((N, cfg.max_length), jnp.float32)
     cmask = jnp.tile(jnp.asarray([1.0, 0.0]), (N, 1))
-    params = model.init(key, x, clip, clip, mask, cmask, deterministic=True)["params"]
+    # DIC_JIT_INIT=1: compile the whole init as ONE program instead of
+    # eager op-by-op dispatch — at flagship scale through the remote
+    # tunnel the eager form is hundreds of individually-dispatched
+    # initializer ops (part of the 63.5 s init+restore leg, VERDICT
+    # round-4 next #4). OFF by default: the compiled fusion produces
+    # ULP-different initializer bits (measured on TINY, 2026-08-21),
+    # and fresh-run trajectories must stay math-identical to the
+    # archived grid/regression logs (runs/README.md gate; the round-5
+    # "butterfly" finding is why ULP differences matter). Resume paths
+    # discard these params (checkpoint restore overwrites), so the flag
+    # is always safe for continue_train segments.
+    if os.environ.get("DIC_JIT_INIT"):
+        init_fn = jax.jit(
+            lambda k: model.init(
+                k, x, clip, clip, mask, cmask, deterministic=True
+            )["params"]
+        )
+        params = init_fn(key)
+    else:
+        params = model.init(
+            key, x, clip, clip, mask, cmask, deterministic=True
+        )["params"]
     return model, params
