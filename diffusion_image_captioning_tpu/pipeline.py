@@ -518,11 +518,27 @@ def run_flickr_training(
             )
             _last[0] = now
 
+    # Sub-splits inside the "data" and "model init + restore" legs
+    # (VERDICT round-4 next #4): separate timer so the existing leg-total
+    # lines (quoted in README/PERF tables) keep their meaning.
+    _sub_t = [_t0]
+
+    def _sub(label: str) -> None:
+        if phase_times:
+            now = _time.monotonic()
+            print(
+                f"[phase] init sub {label}: {now - _sub_t[0]:.1f}s",
+                file=sys.stderr, flush=True,
+            )
+            _sub_t[0] = now
+
     name = model_name(cfg)
     imgs, caps, img_feat, txt_feat = flickr_data.load_combined(
         flickr8k_dir, flickr30k_dir
     )
+    _sub("load_combined")
     tokenizer = build_tokenizer(cfg, caps, assets_dir)
+    _sub("build_tokenizer")
     if cfg.train_embedding:
         # Size the embedding/lm_head to the built caption vocab exactly
         # like the reference (nn.Embedding(len(vocab_dict), ...),
@@ -533,26 +549,15 @@ def run_flickr_training(
     columns = flickr_data.make_flickr_dataset(
         imgs, caps, img_feat, txt_feat, tokenizer, cfg.max_length
     )
+    _sub("tokenize_columns")
     # The reference snapshots memory at four pipeline milestones
     # (mem_report() at CLIP-DDPM.py:223,447,563 plus import time); same
     # cadence here, printed to stdout like the reference.
     mem_report("data")
     _phase("data")
     n = len(caps)
-
-    # Sub-splits of the 63.5 s "model init + restore" leg (VERDICT round-4
-    # next #4): separate timer so the existing leg-total line (quoted in
-    # README/PERF tables) keeps its meaning.
-    _init_t = [_time.monotonic()]
-
-    def _init_sub(label: str) -> None:
-        if phase_times:
-            now = _time.monotonic()
-            print(
-                f"[phase] init sub {label}: {now - _init_t[0]:.1f}s",
-                file=sys.stderr, flush=True,
-            )
-            _init_t[0] = now
+    _sub_t[0] = _time.monotonic()
+    _init_sub = _sub
 
     if cfg.continue_train:
         val_idx = ck.load_val_indices(name, out_dir)
