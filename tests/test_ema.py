@@ -143,6 +143,39 @@ class TestCheckpoint:
         assert got.ema is not None
 
 
+class TestJitInitFlag:
+    def test_state_bit_identical_to_eager(self, setup, monkeypatch):
+        """DIC_JIT_INIT's opt/EMA init leg must be BIT-identical and
+        structure-identical to the eager path (zeros + exact copies — no
+        RNG), or checkpoint templates and the donating train step would
+        see a different tree across the flag."""
+        _, params, tx = setup
+        eager = tr.init_train_state(
+            EMA_CFG, jax.tree.map(jnp.array, params), tx
+        )
+        monkeypatch.setenv("DIC_JIT_INIT", "1")
+        jitted = tr.init_train_state(
+            EMA_CFG, jax.tree.map(jnp.array, params), tx
+        )
+        assert jax.tree.structure(eager.opt_state) == jax.tree.structure(
+            jitted.opt_state
+        )
+        for a, b in zip(
+            jax.tree.leaves(eager.opt_state), jax.tree.leaves(jitted.opt_state)
+        ):
+            assert jnp.asarray(a).dtype == jnp.asarray(b).dtype
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert jitted.ema is not None
+        for k in eager.ema:
+            np.testing.assert_array_equal(
+                np.asarray(eager.ema[k]), np.asarray(jitted.ema[k])
+            )
+            # still a copy, never an alias of the trainable buffer
+            assert not np.shares_memory(
+                np.asarray(jitted.ema[k]), np.asarray(jitted.trainable[k])
+            )
+
+
 class TestHasEmaProbe:
     """_ckpt_has_ema probe ordering (VERDICT round-4 weak #3): the PUBLIC
     orbax metadata API is primary; the raw '"ema"' substring match on the
