@@ -485,6 +485,54 @@ def main() -> None:
                 "orderings_total": len(_gated & set(_grid)),
                 "artifact": "runs/trial_grid/README.md",
             }
+        # 15-epoch schedule-axis arms (round 6, runs/trial_grid_15ep/):
+        # the within-axis cosine-vs-logspace verdict at the reference's
+        # full protocol length.
+        _grid15 = {}
+        for _arm_dir in sorted(_glob.glob("runs/trial_grid_15ep/*/")):
+            _arm = os.path.basename(_arm_dir.rstrip("/"))
+            if not os.path.exists(os.path.join(_arm_dir, "DONE")):
+                continue
+            _logs = sorted(_glob.glob(os.path.join(_arm_dir, "epoch*_*.txt")))
+            if not _logs:
+                continue
+            with open(_logs[-1], "rb") as _f:
+                _t = _f.read().decode("utf-8", "replace")
+            _d = _re.findall(
+                r"BLEU-4 draws \(n=\d+\): mean ([\d.]+) sd ([\d.]+)", _t
+            )
+            if _d:
+                _grid15[_arm] = {
+                    "bleu": float(_d[-1][0]), "sd": float(_d[-1][1])
+                }
+        if _grid15:
+            _e = {"arms": _grid15, "artifact": "runs/trial_grid_15ep/README.md"}
+            if "cosine" in _grid15 and "logspace" in _grid15:
+                _e["reference_ordering_cosine_gt_logspace"] = (
+                    _grid15["cosine"]["bleu"] > _grid15["logspace"]["bleu"]
+                )
+            extras["trial_grid_15ep"] = _e
+
+        # Serving soak capacity (scripts/serving_soak.py, round 7): the
+        # most recent committed report.
+        _soaks = sorted(_glob.glob("runs/serving_soak*.json"))
+        if _soaks:
+            try:
+                with open(_soaks[-1]) as _sf:
+                    _soak = json.load(_sf)
+                extras["serving_soak"] = {
+                    "artifact": _soaks[-1],
+                    "wall_s": _soak.get("wall_s"),
+                    "throughput_captions_per_s": _soak.get(
+                        "throughput_captions_per_s"
+                    ),
+                    "latency": _soak.get("latency"),
+                    "errors": _soak.get("errors"),
+                    "wedged": _soak.get("wedged"),
+                }
+            except Exception:
+                pass
+
         # v3 of the combined protocol (round 6): 5-epoch schedule-correct
         # segments + tuned EMA — segment length parsed from the codec name
         # (epoch<seg>_*), walls from the committed segment logs.
