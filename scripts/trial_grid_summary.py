@@ -39,7 +39,20 @@ REFERENCE = {
     "cfg_w1": (0.1395, "trial_classification_free/..class_weight1E+00.."),
     "cfg_w03": (0.0759, "trial_classification_free/..class_weight3E-01.."),
     "train_embed": (None, "trial_train_embedding/epoch15_..train-embedTrue.. (no BLEU line)"),
+    "train_embed_slice": (None, "same reference log as train_embed — the reference ran WITH the char-slice quirk (CLIP-DDPM.py:184), so THIS arm is its apples-to-apples pairing; the quirk-off train_embed arm isolates the bug's cost"),
     "dynamic1": (None, "trial_rounding_weight/..dynamic1.. (no BLEU line)"),
+}
+
+# Final-epoch (epoch 14) loss lines of the reference logs for the no-BLEU
+# axes, train x_t/x_1/prob then val x_t/x_1/prob — the trajectory-sanity
+# anchor the at-scale arms are compared against (VERDICT round-4 missing
+# #1). Both reference logs ran the full 15-epoch protocol at constant
+# lr 1e-4; the arms here run 5 epochs, so compare SHAPE (which terms fall,
+# which rise under the dynamic-lambda re-weighting), not absolute values.
+REF_FINAL_LOSSES = {
+    "train_embed": ((0.736, 0.055, 0.591), (0.707, 0.035, 0.526)),
+    "train_embed_slice": ((0.736, 0.055, 0.591), (0.707, 0.035, 0.526)),
+    "dynamic1": ((6.398, 4.607, 18.467), (6.425, 4.531, 21.537)),
 }
 
 # The headline orderings (VERDICT round-3 next #2). Each entry is
@@ -89,6 +102,27 @@ def parse_arm(arm_dir: str):
     else:
         mean, sd = float(scores[-1]), float("nan")
     return mean, sd, len(scores)
+
+
+def parse_final_losses(arm_dir: str):
+    """Last 'epoch N average' line of an arm's run log -> (epoch_idx,
+    (train x_t, x_1, prob), (val x_t, x_1, prob)), or None."""
+    logs = sorted(glob.glob(os.path.join(arm_dir, "epoch*_*.txt")))
+    if not logs:
+        return None
+    with open(logs[-1], "rb") as f:
+        text = f.read().decode("utf-8", "replace")
+    rows = re.findall(
+        r"^epoch (\d+) average x_t_loss, x_1_loss, prob_loss, val losses: "
+        r"([\d.eE+-]+), ([\d.eE+-]+), ([\d.eE+-]+), "
+        r"([\d.eE+-]+), ([\d.eE+-]+), ([\d.eE+-]+)",
+        text, re.M,
+    )
+    if not rows:
+        return None
+    ep, *vals = rows[-1]
+    v = [float(x) for x in vals]
+    return int(ep), tuple(v[:3]), tuple(v[3:])
 
 
 def main() -> None:
@@ -147,6 +181,28 @@ def main() -> None:
             print(f"{tag}  {label}: {a:.4f} vs {b:.4f}")
         else:
             print(f"----      {label}: awaiting arms")
+
+    # Trajectory-sanity rows for the no-BLEU axes (reference logs end
+    # without BLEU lines): final-epoch losses side by side with the
+    # reference's epoch-14 anchor. Shape is the claim — under dynamic
+    # lambda the prob term must FALL while x_t/x_1 drift up; under
+    # train_embedding all three sit 1-2 orders below the frozen-embed
+    # arms (16-d learned space).
+    print("\ntrajectory arms (final epoch vs reference epoch-14 anchor):")
+    for arm, anchors in REF_FINAL_LOSSES.items():
+        got = parse_final_losses(os.path.join(args.out, arm))
+        if got is None:
+            print(f"----      {arm}: awaiting arm")
+            continue
+        ep, tr, va = got
+        (rtr, rva) = anchors
+        print(
+            f"  {arm}: epoch {ep} train x_t/x_1/prob "
+            f"{tr[0]:.3f}/{tr[1]:.3f}/{tr[2]:.3f} val "
+            f"{va[0]:.3f}/{va[1]:.3f}/{va[2]:.3f}  "
+            f"(reference ep14: train {rtr[0]}/{rtr[1]}/{rtr[2]} "
+            f"val {rva[0]}/{rva[1]}/{rva[2]})"
+        )
 
 
 if __name__ == "__main__":

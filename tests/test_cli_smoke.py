@@ -355,6 +355,13 @@ def test_trial_grid_summary_cli(tmp_path):
         ("add", "BLEU-4 score: 0.11", True),
         ("xt100", "BLEU-4 score: 0.30", True),   # inverted vs reference
         ("cosine", "BLEU-4 score: 0.20", False),  # not DONE -> no check
+        # no-BLEU trajectory axis: reference log ends without a BLEU line,
+        # so the summary prints a final-epoch loss row instead
+        ("dynamic1",
+         "epoch 0 average x_t_loss, x_1_loss, prob_loss, val losses: "
+         "4.0, 4.5, 31.0, 4.5, 5.4, 24.5\n"
+         "epoch 4 average x_t_loss, x_1_loss, prob_loss, val losses: "
+         "6.125, 4.25, 20.5, 6.5, 4.75, 21.25\n", True),
     ]:
         d = tmp_path / arm
         d.mkdir()
@@ -375,6 +382,9 @@ def test_trial_grid_summary_cli(tmp_path):
     assert "FAIL  x0 > x_{t-100}: 0.2500 vs 0.3000" in out
     assert "----  linspace > cosine: awaiting arms" in out  # not DONE
     assert "orderings reproduced: 1/2" in out
+    assert ("dynamic1: epoch 4 train x_t/x_1/prob 6.125/4.250/20.500 "
+            "val 6.500/4.750/21.250") in out
+    assert "train_embed_slice: awaiting arm" in out
 
 
 def test_combined_summary_phases(tmp_path):
